@@ -1,0 +1,198 @@
+"""RIFF/WAVE decoding without third-party audio libraries.
+
+The reference front-end (`/root/reference/nisqa/NISQA_lib.py:2284-2331`) loads audio
+with ``librosa.load`` (soundfile backend): samples are converted to float32 in
+[-1, 1) by dividing by 2**(bits-1), multi-channel audio is averaged to mono
+*after* float conversion (or a single channel is selected when ``ms_channel``
+is given), and ``sr=None`` keeps the file's native sample rate.
+
+This module reproduces that behaviour from first principles with a small numpy
+RIFF parser supporting PCM 8/16/24/32-bit and IEEE float 32/64-bit, including
+WAVE_FORMAT_EXTENSIBLE headers.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+WAVE_FORMAT_PCM = 0x0001
+WAVE_FORMAT_IEEE_FLOAT = 0x0003
+WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+@dataclass
+class WavInfo:
+    sample_rate: int
+    n_channels: int
+    n_frames: int
+    bits_per_sample: int
+    format_tag: int
+
+    @property
+    def duration(self) -> float:
+        return self.n_frames / float(self.sample_rate)
+
+
+class WavFormatError(ValueError):
+    pass
+
+
+def _parse_chunks(buf: bytes):
+    """Yield (chunk_id, offset, size) for every top-level RIFF chunk."""
+    if len(buf) < 12 or buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise WavFormatError("not a RIFF/WAVE file")
+    pos = 12
+    n = len(buf)
+    while pos + 8 <= n:
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        data_off = pos + 8
+        yield cid, data_off, min(size, n - data_off)
+        pos = data_off + size + (size & 1)  # chunks are word-aligned
+
+
+def _decode_samples(raw: bytes, fmt: int, bits: int, n_channels: int) -> np.ndarray:
+    """Decode interleaved sample bytes to float32 in [-1, 1)."""
+    if fmt == WAVE_FORMAT_IEEE_FLOAT:
+        if bits == 32:
+            x = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+        elif bits == 64:
+            x = np.frombuffer(raw, dtype="<f8").astype(np.float32)
+        else:
+            raise WavFormatError(f"unsupported float bit depth: {bits}")
+    elif fmt == WAVE_FORMAT_PCM:
+        if bits == 8:
+            # 8-bit PCM is unsigned
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 24:
+            b = np.frombuffer(raw, dtype=np.uint8)
+            n = len(b) // 3
+            b = b[: n * 3].reshape(n, 3)
+            # assemble little-endian 24-bit into int32 with sign extension
+            val = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            val = np.where(val >= 1 << 23, val - (1 << 24), val)
+            x = val.astype(np.float32) / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / float(1 << 31)
+        else:
+            raise WavFormatError(f"unsupported PCM bit depth: {bits}")
+    else:
+        raise WavFormatError(f"unsupported WAVE format tag: {fmt:#x}")
+
+    if n_channels > 1:
+        n = len(x) // n_channels
+        x = x[: n * n_channels].reshape(n, n_channels).T  # (C, N) like librosa
+    return x
+
+
+def read_wav(path: str, channel: int | None = None, mono: bool = True):
+    """Read a WAV file -> (samples float32, sample_rate).
+
+    ``channel``: select one channel (reference ``ms_channel``,
+    `/root/reference/nisqa/NISQA_lib.py:2299-2303`). Otherwise channels are
+    averaged to mono when ``mono`` is True (librosa default).
+    Returns samples with shape (N,) when mono/channel-selected, else (C, N).
+    """
+    with open(path, "rb") as f:
+        buf = f.read()
+
+    fmt_tag = None
+    bits = None
+    n_channels = None
+    sample_rate = None
+    data = None
+    for cid, off, size in _parse_chunks(buf):
+        if cid == b"fmt ":
+            fmt_tag, n_channels, sample_rate = struct.unpack_from("<HHI", buf, off)
+            (bits,) = struct.unpack_from("<H", buf, off + 14)
+            if fmt_tag == WAVE_FORMAT_EXTENSIBLE and size >= 40:
+                # sub-format GUID: first two bytes carry the real format tag
+                (fmt_tag,) = struct.unpack_from("<H", buf, off + 24)
+        elif cid == b"data":
+            data = buf[off : off + size]
+
+    if fmt_tag is None or data is None:
+        raise WavFormatError(f"missing fmt/data chunk in {path}")
+
+    x = _decode_samples(data, fmt_tag, bits, n_channels)
+    if n_channels > 1:
+        if channel is not None:
+            x = x[channel]
+        elif mono:
+            x = x.mean(axis=0).astype(np.float32)
+    return x, sample_rate
+
+
+def wav_info(path: str) -> WavInfo:
+    """Read only the WAV header (no sample decode) — used for length bucketing."""
+    with open(path, "rb") as f:
+        buf = f.read(65536)
+    fmt_tag = bits = n_channels = sample_rate = None
+    data_size = 0
+    try:
+        for cid, off, size in _parse_chunks(buf):
+            if cid == b"fmt ":
+                fmt_tag, n_channels, sample_rate = struct.unpack_from("<HHI", buf, off)
+                (bits,) = struct.unpack_from("<H", buf, off + 14)
+                if fmt_tag == WAVE_FORMAT_EXTENSIBLE and size >= 40:
+                    (fmt_tag,) = struct.unpack_from("<H", buf, off + 24)
+            elif cid == b"data":
+                # size field is authoritative even if we did not read the body
+                (data_size,) = struct.unpack_from("<I", buf, off - 4)
+    except WavFormatError:
+        raise
+    if fmt_tag is None:
+        raise WavFormatError(f"missing fmt chunk in {path}")
+    bytes_per_frame = n_channels * (bits // 8)
+    return WavInfo(sample_rate, n_channels, data_size // bytes_per_frame, bits, fmt_tag)
+
+
+def write_wav(path: str, x: np.ndarray, sample_rate: int):
+    """Write float32 [-1,1] samples as 16-bit PCM (test/bench fixture helper)."""
+    x = np.asarray(x)
+    if x.ndim == 1:
+        x = x[None, :]
+    n_channels, n = x.shape
+    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
+    pcm = pcm.T.reshape(-1).tobytes()
+    with open(path, "wb") as f:
+        byte_rate = sample_rate * n_channels * 2
+        hdr = io.BytesIO()
+        hdr.write(b"RIFF")
+        hdr.write(struct.pack("<I", 36 + len(pcm)))
+        hdr.write(b"WAVE")
+        hdr.write(b"fmt ")
+        hdr.write(struct.pack("<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16))
+        hdr.write(b"data")
+        hdr.write(struct.pack("<I", len(pcm)))
+        f.write(hdr.getvalue())
+        f.write(pcm)
+
+
+def resample_poly(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Polyphase resampling for the ``ms_sr`` option.
+
+    The reference delegates to librosa/resampy ``kaiser_best``
+    (`/root/reference/nisqa/NISQA_lib.py:2299-2304` via ``lb.load(sr=...)``).
+    All released configs ship ``ms_sr: null`` (native rate), so this path is
+    only exercised by user configs; we use scipy's polyphase filter, which is
+    not bit-identical to resampy but spectrally equivalent.
+    """
+    if sr_in == sr_out:
+        return x
+    from math import gcd
+
+    from scipy.signal import resample_poly as _rp
+
+    g = gcd(int(sr_in), int(sr_out))
+    return _rp(x, int(sr_out) // g, int(sr_in) // g).astype(np.float32)
