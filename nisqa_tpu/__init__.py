@@ -8,3 +8,26 @@ the released PyTorch checkpoints.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _setup_compilation_cache():
+    """Persistent XLA compilation cache: first compile of the inference
+    pipeline is expensive on TPU; cache it across processes. Opt out with
+    NISQA_TPU_NO_CACHE=1."""
+    if _os.environ.get("NISQA_TPU_NO_CACHE"):
+        return
+    cache_dir = _os.environ.get(
+        "NISQA_TPU_CACHE_DIR", _os.path.expanduser("~/.cache/nisqa_tpu_xla")
+    )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_setup_compilation_cache()

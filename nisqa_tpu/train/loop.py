@@ -1,0 +1,424 @@
+"""Training loops (MOS + multidimensional) on the TPU pipeline.
+
+Behavioural parity with `_train_mos` / `_train_dim`
+(`/root/reference/nisqa/NISQA_model.py:83-230, 234-569`): Adam + reduce-on-
+plateau (rel threshold 0.003) + early stopping + (optional) bias loss, train-
+mode predictions collected for the per-epoch train-set evaluation, a full
+validation inference pass per epoch, per-epoch results CSV and checkpoints.
+
+TPU design:
+  * one jitted train step per (batch, bucket) shape: feature extraction
+    (wav -> mel -> segments) runs on-device, then forward/backward/Adam in
+    the same dispatch stream; LR is a traced scalar so plateau decay never
+    recompiles.
+  * NaN-masked MSE per target column (mixed-label corpora train exactly like
+    the reference, `NISQA_lib.py:1934-1938`).
+  * bias-loss polynomial is evaluated on-device from per-batch (B, K, 4)
+    coefficients; the least-squares refits stay on host (tiny).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pandas as pd
+
+from ..data.pipeline import _front_end
+from ..eval.report import eval_results
+from .bias_loss import BiasLoss
+from .checkpoint import save_train_state
+from .early_stop import EarlyStopper, EarlyStopperDim
+from .plateau import ReduceLROnPlateau
+
+
+def nan_mse(pred, target):
+    """Mean squared error over non-NaN targets (`NISQA_lib.py:1934-1938`)."""
+    err = pred - target
+    ok = ~jnp.isnan(target)
+    err = jnp.where(ok, err, 0.0)
+    return jnp.sum(err * err) / jnp.maximum(jnp.sum(ok), 1)
+
+
+class TrainEngine:
+    """Per-shape compiled train steps + on-device feature extraction."""
+
+    def __init__(self, runner, loss_weight=0.0):
+        self.runner = runner
+        self.model = runner.model
+        self.ms = runner.ms
+        self.loss_weight = float(loss_weight)
+        self.opt = optax.scale_by_adam()
+        self._fe_cache = {}
+        self._step_cache = {}
+        self.opt_state = self.opt.init(runner.params)
+
+    # -- feature extraction (jitted per (sr, bucket, B)) ---------------------
+
+    def _fe(self, sr, bucket):
+        key = (sr, bucket)
+        if key not in self._fe_cache:
+            fn, buf_len = _front_end(self.ms, sr, bucket)
+            self._fe_cache[key] = (jax.jit(fn), buf_len)
+        return self._fe_cache[key]
+
+    # -- train step -----------------------------------------------------------
+
+    def _step(self, n_targets):
+        if n_targets in self._step_cache:
+            return self._step_cache[n_targets]
+        model = self.model
+        opt = self.opt
+        loss_weight = self.loss_weight
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def step(params, opt_state, bn_state, segs, n_wins, y, bias_b, lr, rng):
+            def loss_fn(p):
+                y_hat, new_bn = model.apply(p, bn_state, segs, n_wins, train=True, rng=rng)
+                mapped = (
+                    bias_b[..., 0]
+                    + bias_b[..., 1] * y_hat
+                    + bias_b[..., 2] * y_hat**2
+                    + bias_b[..., 3] * y_hat**3
+                )
+                loss = sum(
+                    nan_mse(mapped[:, k], y[:, k])
+                    + loss_weight * nan_mse(y_hat[:, k], y[:, k])
+                    for k in range(n_targets)
+                )
+                return loss, (y_hat, new_bn)
+
+            (loss, (y_hat, new_bn)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            params = jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
+            return params, opt_state, new_bn, loss, y_hat
+
+        self._step_cache[n_targets] = step
+        return step
+
+    # -- one epoch -------------------------------------------------------------
+
+    def run_epoch(self, ds, bias_losses, lr, rng_epoch, batch_size, shuffle=True, verbose=0):
+        """Returns (mean_loss, y_train_hat (N, K))."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        runner = self.runner
+        ms = self.ms
+        paths = ds.paths()
+        paths_ref = ds.paths_ref()
+        de = self.model.double_ended
+        y_all = ds.targets()  # (N, K)
+        K = y_all.shape[1]
+        N = len(paths)
+        step_fn = self._step(K)
+
+        order = np.arange(N)
+        if shuffle:
+            np.random.default_rng(int(rng_epoch[0]) & 0x7FFFFFFF).shuffle(order)
+
+        workers = max(1, int(runner.args.get("tr_num_workers") or 8))
+        pool = ThreadPoolExecutor(workers)
+        engine_load = runner._engine_audio_loader()
+
+        y_hat_all = np.zeros((N, K), dtype=np.float32)
+        total_loss, n_batches = 0.0, 0
+        step_i = 0
+
+        for start in range(0, N, batch_size):
+            idx = order[start : start + batch_size]
+            audio = list(pool.map(engine_load, (paths[i] for i in idx)))
+            audio_ref = list(pool.map(engine_load, (paths_ref[i] for i in idx))) if de else None
+
+            srs = {a[1] for a in audio}
+            if len(srs) > 1:
+                # split mixed-sr batches (rare); recurse per sr
+                by_sr = {}
+                for j, (yv, sr) in enumerate(audio):
+                    by_sr.setdefault(sr, []).append(j)
+                groups = [[int(idx[j]) for j in js] for js in by_sr.values()]
+            else:
+                groups = [list(map(int, idx))]
+
+            for g in groups:
+                loss, y_hat = self._run_group(
+                    g, paths, paths_ref, audio if len(groups) == 1 else None,
+                    engine_load, pool, y_all, bias_losses, lr,
+                    jax.random.fold_in(rng_epoch, step_i), step_fn, K, de,
+                )
+                y_hat_all[g] = y_hat
+                total_loss += loss
+                n_batches += 1
+                step_i += 1
+
+        pool.shutdown()
+        return total_loss / max(n_batches, 1), y_hat_all
+
+    def _run_group(self, idx, paths, paths_ref, audio, load, pool, y_all,
+                   bias_losses, lr, rng, step_fn, K, de):
+        from ..audio.melspec import pad_audio_for_batch
+
+        ms = self.ms
+        runner = self.runner
+        if audio is None:
+            audio = list(pool.map(load, (paths[i] for i in idx)))
+        audio_ref = list(pool.map(load, (paths_ref[i] for i in idx))) if de else None
+        sr = audio[0][1]
+
+        def n_wins_of(y):
+            return ms.n_wins(ms.n_frames(len(y), sr))
+
+        max_nw = max(n_wins_of(a[0]) for a in audio)
+        if de:
+            max_nw = max(max_nw, max(n_wins_of(a[0]) for a in audio_ref))
+        bucket = next(b for b in ms.buckets() if max_nw <= b)
+        fe, buf_len = self._fe(sr, bucket)
+
+        def fill(source):
+            B = len(idx)
+            buf = np.zeros((B, buf_len), dtype=np.float32)
+            n = np.zeros((B,), dtype=np.int32)
+            for j, (y, _) in enumerate(source):
+                buf[j, : len(y) + ms.n_fft] = pad_audio_for_batch(y, ms.n_fft, len(y) + ms.n_fft)
+                n[j] = len(y)
+            return buf, n
+
+        buf_d, n_d = fill(audio)
+        segs, n_wins = fe(buf_d, n_d)
+        if de:
+            buf_r, n_r = fill(audio_ref)
+            segs_r, n_wins_r = fe(buf_r, n_r)
+            segs = jnp.stack([segs, segs_r], axis=2)
+            n_wins = jnp.stack([n_wins, n_wins_r], axis=1)
+
+        y = y_all[idx]  # (B, K)
+        bias_b = np.stack([bl.coeffs(idx) for bl in bias_losses], axis=1)  # (B, K, 4)
+
+        params, self.opt_state, bn_state, loss, y_hat = step_fn(
+            runner.params, self.opt_state, runner.state,
+            segs, n_wins, jnp.asarray(y), jnp.asarray(bias_b),
+            jnp.float32(lr), rng,
+        )
+        runner.params, runner.state = params, bn_state
+        return float(loss), np.asarray(y_hat)
+
+
+# ---------------------------------------------------------------------------
+# results CSV + checkpoint writer (parity with `_saveResults`,
+# `/root/reference/nisqa/NISQA_model.py:1053-1111`)
+# ---------------------------------------------------------------------------
+
+
+class ResultsWriter:
+    def __init__(self, runner, runname):
+        self.runner = runner
+        self.runname = runname
+        self.hist = None
+
+    def save(self, epoch, loss, ep_runtime, r, bias_b, opt_state, best):
+        runner = self.runner
+        args = runner.args
+        ckpt_mode = args.get("tr_checkpoint", "every_epoch")
+        if ckpt_mode == "best_only":
+            base = self.runname
+        else:
+            base = f"{self.runname}__ep_{epoch + 1:03d}"
+        run_dir = os.path.join(args["output_dir"], self.runname)
+        os.makedirs(run_dir, exist_ok=True)
+
+        results = {
+            "runname": self.runname,
+            "epoch": f"{epoch + 1:05d}",
+            "filename": base + ".tar",
+            "loss": loss,
+            "ep_runtime": f"{ep_runtime:0.2f}",
+            **runner.runinfos,
+            **r,
+            **{k: v for k, v in args.items() if k != "now"},
+        }
+        results = {k: str(v) for k, v in results.items()}
+        row = pd.DataFrame(results, index=[0])
+        self.hist = row if self.hist is None else pd.concat([self.hist, row], ignore_index=True)
+        self.hist.to_csv(os.path.join(run_dir, self.runname + "__results.csv"), index=False)
+
+        if ckpt_mode == "every_epoch" or (ckpt_mode == "best_only" and best):
+            save_train_state(
+                os.path.join(run_dir, base), runner.model, runner.params, runner.state,
+                opt_state, args, epoch, bias_b=bias_b, results=results,
+            )
+        elif ckpt_mode not in ("every_epoch", "best_only"):
+            raise ValueError("selected tr_checkpoint option not available")
+
+
+# ---------------------------------------------------------------------------
+# MOS training
+# ---------------------------------------------------------------------------
+
+
+def _bias_losses(runner, k):
+    args = runner.args
+    return [
+        BiasLoss(
+            runner.ds_train.df.db,
+            anchor_db=args.get("tr_bias_anchor_db"),
+            mapping=args.get("tr_bias_mapping"),
+            min_r=args.get("tr_bias_min_r"),
+            do_print=(args.get("tr_verbose", 0) > 0),
+        )
+        for _ in range(k)
+    ]
+
+
+def train_mos(runner):
+    args = runner.args
+    runname = runner._make_runname_and_write_yaml()
+    engine = TrainEngine(runner)
+    sched = ReduceLROnPlateau(args["tr_lr"], args["tr_lr_patience"])
+    stopper = EarlyStopper(args["tr_early_stop"])
+    bias_losses = _bias_losses(runner, 1)
+    writer = ResultsWriter(runner, runname)
+    verbose = args.get("tr_verbose", 0)
+    rng = jax.random.PRNGKey(int(args.get("seed", 0)))
+
+    print("--> start training")
+    for epoch in range(args["tr_epochs"]):
+        tic = time.time()
+        rng, rng_ep = jax.random.split(rng)
+        loss, y_hat = engine.run_epoch(
+            runner.ds_train, bias_losses, sched.lr, rng_ep, args["tr_bs"], verbose=verbose
+        )
+        y_train = runner.ds_train.df[args["csv_mos_train"]].to_numpy().reshape(-1)
+        bias_losses[0].update_bias(y_train, y_hat[:, 0])
+
+        if verbose > 0:
+            print("\n<---- Training ---->")
+        runner.ds_train.df["mos_pred"] = y_hat[:, 0]
+        _, r_train = eval_results(
+            runner.ds_train.df, dcon=runner.ds_train.df_con,
+            target_mos=args["csv_mos_train"], target_ci=args["csv_mos_train"] + "_ci",
+            pred="mos_pred", mapping="first_order", do_print=(verbose > 0),
+        )
+
+        if verbose > 0:
+            print("<---- Validation ---->")
+        val_engine = runner._engine()
+        y_val_hat = val_engine.predict_paths(runner.ds_val.paths(), runner.ds_val.paths_ref())
+        runner.ds_val.write_predictions(y_val_hat)
+        db_results, r_val = eval_results(
+            runner.ds_val.df, dcon=runner.ds_val.df_con,
+            target_mos=args["csv_mos_val"], target_ci=args["csv_mos_val"] + "_ci",
+            pred="mos_pred", mapping="first_order", do_print=(verbose > 0),
+        )
+
+        r = {
+            "train_r_p_mean_file": r_train["r_p_mean_file"],
+            "train_rmse_map_mean_file": r_train["rmse_map_mean_file"],
+            **r_val,
+        }
+        lr_now = sched.lr
+        sched.step(loss)
+        stop = stopper.step(r)
+        ep_runtime = time.time() - tic
+        print(
+            f"ep {epoch + 1} sec {ep_runtime:0.0f} es {stopper.cnt} lr {lr_now:0.0e} "
+            f"loss {loss:0.4f} // r_p_tr {r['train_r_p_mean_file']:0.2f} "
+            f"rmse_map_tr {r['train_rmse_map_mean_file']:0.2f} // "
+            f"r_p {r['r_p_mean_file']:0.2f} rmse_map {r['rmse_map_mean_file']:0.2f} // "
+            f"best_r_p {stopper.best_r_p:0.2f} best_rmse_map {stopper.best_rmse:0.2f}"
+        )
+        writer.save(epoch, loss, ep_runtime, r, bias_losses[0].b, engine.opt_state, stopper.best)
+        if stop:
+            print(f"--> Early stopping. best_r_p {stopper.best_r_p:0.2f} best_rmse {stopper.best_rmse:0.2f}")
+            return
+    print(f"--> Training done. best_r_p {stopper.best_r_p:0.2f} best_rmse_map {stopper.best_rmse:0.2f}")
+
+
+# ---------------------------------------------------------------------------
+# Multidimensional training
+# ---------------------------------------------------------------------------
+
+_DIM = ("mos", "noi", "dis", "col", "loud")
+
+
+def train_dim(runner):
+    args = runner.args
+    runname = runner._make_runname_and_write_yaml()
+    engine = TrainEngine(runner)
+    sched = ReduceLROnPlateau(args["tr_lr"], args["tr_lr_patience"])
+    stopper = EarlyStopperDim(args["tr_early_stop"])
+    bias_losses = _bias_losses(runner, 5)
+    writer = ResultsWriter(runner, runname)
+    verbose = args.get("tr_verbose", 0)
+    rng = jax.random.PRNGKey(int(args.get("seed", 0)))
+
+    print("--> start training")
+    for epoch in range(args["tr_epochs"]):
+        tic = time.time()
+        rng, rng_ep = jax.random.split(rng)
+        loss, y_hat = engine.run_epoch(
+            runner.ds_train, bias_losses, sched.lr, rng_ep, args["tr_bs"], verbose=verbose
+        )
+        y_train = runner.ds_train.targets()
+        for k in range(5):
+            bias_losses[k].update_bias(y_train[:, k], y_hat[:, k])
+
+        if verbose > 0:
+            print("\n<---- Training ---->")
+        runner.ds_train.write_predictions(y_hat)
+        r_train = {}
+        for t in _DIM:
+            if verbose > 0:
+                print(f"--> {t.upper()}:")
+            _, rt = eval_results(
+                runner.ds_train.df, dcon=runner.ds_train.df_con, target_mos=t,
+                target_ci=f"{t}_ci", pred=f"{t}_pred", mapping="first_order",
+                do_print=(verbose > 0),
+            )
+            suffix = "" if t == "mos" else f"_{t}"
+            r_train[f"train_r_p_mean_file{suffix}"] = rt["r_p_mean_file"]
+            r_train[f"train_rmse_map_mean_file{suffix}"] = rt["rmse_map_mean_file"]
+
+        if verbose > 0:
+            print("<---- Validation ---->")
+        val_engine = runner._engine()
+        y_val_hat = val_engine.predict_paths(runner.ds_val.paths(), runner.ds_val.paths_ref())
+        runner.ds_val.write_predictions(y_val_hat)
+        r_val, db_results = {}, {}
+        for t in _DIM:
+            if verbose > 0:
+                print(f"--> {t.upper()}:")
+            db_t, rv = eval_results(
+                runner.ds_val.df, dcon=runner.ds_val.df_con, target_mos=t,
+                target_ci=f"{t}_ci", pred=f"{t}_pred", mapping="first_order",
+                do_print=(verbose > 0),
+            )
+            suffix = "" if t == "mos" else f"_{t}"
+            r_val.update({f"{k}{suffix}": v for k, v in rv.items()})
+            db_results[f"db_results_val_{t}"] = db_t
+
+        r = {**r_train, **r_val}
+        lr_now = sched.lr
+        sched.step(loss)
+        stop = stopper.step(r)
+        ep_runtime = time.time() - tic
+        r_dim_mean = np.mean([r[f"r_p_mean_file{'' if t == 'mos' else '_' + t}"] for t in _DIM])
+        print(
+            f"ep {epoch + 1} sec {ep_runtime:0.0f} es {stopper.cnt} lr {lr_now:0.0e} "
+            f"loss {loss:0.4f} // r_p_tr {r['train_r_p_mean_file']:0.2f} "
+            f"rmse_map_tr {r['train_rmse_map_mean_file']:0.2f} // "
+            f"r_dim_mos_mean {r_dim_mean:0.2f}, r_p {r['r_p_mean_file']:0.2f} "
+            f"rmse_map {r['rmse_map_mean_file']:0.2f} // "
+            f"best_r_p {stopper.best_r_p_mos:0.2f} best_rmse_map {stopper.best_rmse_mos:0.2f}"
+        )
+        writer.save(
+            epoch, loss, ep_runtime, r,
+            np.stack([bl.b for bl in bias_losses], axis=1), engine.opt_state, stopper.best,
+        )
+        if stop:
+            print(f"--> Early stopping. best_r_p {stopper.best_r_p_mos:0.2f} best_rmse {stopper.best_rmse_mos:0.2f}")
+            return
+    print(f"--> Training done. best_r_p {stopper.best_r_p_mos:0.2f} best_rmse {stopper.best_rmse_mos:0.2f}")
