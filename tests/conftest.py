@@ -1,17 +1,21 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-This mirrors the reference's lack of a GPU requirement for tests and lets the
-data-parallel pjit path be exercised without TPU hardware
-(SURVEY.md §4 device-count tests).
+This environment pins JAX_PLATFORMS=axon (real TPU via tunnel) through a
+sitecustomize hook, so the env var alone cannot opt out — force the CPU
+backend through jax.config before any backend initialisation. This keeps
+tests hermetic/fast and lets the data-parallel pjit path be exercised
+without TPU hardware (SURVEY.md §4 device-count tests).
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
