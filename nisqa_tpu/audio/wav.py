@@ -133,6 +133,31 @@ def read_wav(path: str, channel: int | None = None, mono: bool = True):
     return x, sample_rate
 
 
+def read_wav_pcm16_mono(path: str):
+    """Fast path: return raw little-endian int16 samples for PCM16 mono files.
+
+    Returns (np.int16 array, sample_rate) or None when the file is not
+    plain 16-bit mono PCM (caller falls back to :func:`read_wav`).
+    The int16 values divided by 32768 are exactly librosa's float samples,
+    so downstream code can defer the scaling (e.g. onto the TPU).
+    """
+    with open(path, "rb") as f:
+        buf = f.read()
+    fmt_tag = bits = n_channels = None
+    data = None
+    for cid, off, size in _parse_chunks(buf):
+        if cid == b"fmt ":
+            fmt_tag, n_channels, sample_rate = struct.unpack_from("<HHI", buf, off)
+            (bits,) = struct.unpack_from("<H", buf, off + 14)
+            if fmt_tag == WAVE_FORMAT_EXTENSIBLE and size >= 40:
+                (fmt_tag,) = struct.unpack_from("<H", buf, off + 24)
+        elif cid == b"data":
+            data = buf[off : off + size]
+    if fmt_tag != WAVE_FORMAT_PCM or bits != 16 or n_channels != 1 or data is None:
+        return None
+    return np.frombuffer(data, dtype="<i2"), sample_rate
+
+
 def wav_info(path: str) -> WavInfo:
     """Read only the WAV header (no sample decode) — used for length bucketing."""
     with open(path, "rb") as f:

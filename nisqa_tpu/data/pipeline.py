@@ -50,9 +50,19 @@ class MsConfig:
             raise ValueError(f"seg_length must be odd! (seg_length={self.seg_length})")
 
     def buckets(self):
+        """Geometric x1.25 length buckets from max/8 up to max_segments.
+
+        Finer buckets cut padding waste (= host->device bytes, the bottleneck
+        on 1-core hosts feeding the TPU tunnel) to <=25% per file; compiled
+        executables per bucket are amortised by the persistent XLA cache.
+        """
         m = self.max_segments
-        out = sorted({max(8, math.ceil(m / 8)), math.ceil(m / 4), math.ceil(m / 2), m})
-        return out
+        out = {m}
+        b = max(8, math.ceil(m / 8))
+        while b < m:
+            out.add(b)
+            b = math.ceil(b * 1.25)
+        return sorted(out)
 
     def frames_for_bucket(self, t_bucket: int) -> int:
         return (t_bucket - 1) * self.seg_hop + self.seg_length
@@ -69,52 +79,84 @@ class MsConfig:
         return math.ceil(full / self.seg_hop)
 
 
-def _front_end(ms: MsConfig, sr: int, t_bucket: int, frame_chunk: int = 256):
+def _front_end(ms: MsConfig, sr: int, t_bucket: int, frame_chunk: int = 256,
+               transport: str = "f32"):
     """Build the traced front-end: (audio_buf, n_samples) -> (segs, n_wins).
 
     Returns (fn, buf_len). Everything is static-shape; see
     nisqa_tpu/audio/melspec.py for the math/parity notes.
+
+    ``transport='i16'``: the audio buffer arrives as raw PCM16 samples
+    (reflect-padded host-side); the librosa-equivalent 1/32768 scaling is
+    folded into the analysis window, so the float path's values are
+    reproduced exactly while halving host->device bytes.
+
+    Implementation notes (relay-attached TPU pitfalls, measured — see
+    docs/RELAY_NOTES.md):
+      * NO gathers with large index tables and NO array constants of ANY
+        size embedded in the executable — loading an executable containing
+        an array literal permanently degrades the host link ~40x. STFT
+        framing is a reshape to (rows, hop) + K static slices + concat;
+        segment windowing is seg_length strided slices + stack; the analysis
+        window and mel filterbank arrive as ARGUMENTS (``consts`` pytree,
+        device-resident, built by :func:`front_end_consts`).
+
+    The returned fn has signature (consts, audio, n_samples) -> (segs, n_wins)
+    with consts from :func:`front_end_consts`.
+
+    The STFT is evaluated as a windowed-DFT MATMUL rather than an FFT: the
+    analysis window is nonzero on only win_length of the n_fft samples and
+    the mel filterbank only reads bins below fmax, so
+    Z[k] = sum_s x[s] * w[s] * e^{-2pi i k s / n_fft} over the window span
+    is a (frames x span) @ (span x kept_bins) product per re/im — exactly
+    what the MXU is built for, numerically identical to the zero-padded
+    rFFT on the kept bins, and free of the TPU FFT custom-call (which
+    poisons the relay link on first execution).
     """
     hop = int(sr * ms.hop_s)
     win = int(sr * ms.win_s)
     n_frames_max = ms.frames_for_bucket(t_bucket)
-    fb_t = jnp.asarray(mel_filterbank(int(sr), ms.n_fft, ms.n_mels, 0.0, ms.fmax).T)
-    window = jnp.asarray(padded_window(win, ms.n_fft))
 
-    n_chunks = -(-n_frames_max // frame_chunk)
-    frames_padded = n_chunks * frame_chunk
-    span = (frame_chunk - 1) * hop + ms.n_fft
-    buf_len = (frames_padded - 1) * hop + ms.n_fft
-    local_idx = jnp.asarray(
-        np.arange(frame_chunk)[:, None] * hop + np.arange(ms.n_fft)[None, :]
-    )
+    lpad = (ms.n_fft - win) // 2
+    r0 = lpad // hop
+    r1 = (lpad + win - 1) // hop
+    n_win_rows = r1 - r0 + 1
+    n_rows = n_frames_max + r1
+    buf_len = n_rows * hop
 
-    seg_starts = np.arange(t_bucket) * ms.seg_hop
-    gather_idx = jnp.asarray(
-        np.minimum(seg_starts[:, None] + np.arange(ms.seg_length)[None, :], n_frames_max - 1)
-    )
-
-    def fn(audio, n_samples):
+    def fn(consts, audio, n_samples):
+        w_re, w_im, fb_t = consts["w_re"], consts["w_im"], consts["fb_t"]
         B = audio.shape[0]
         n_frames = (1 + n_samples // hop).astype(jnp.int32)
+        rows = audio.reshape(B, n_rows, hop)
 
-        def chunk(c, _):
-            a = lax.dynamic_slice(audio, (0, c * (frame_chunk * hop)), (B, span))
-            frames = a[:, local_idx] * window
-            spec = jnp.abs(jnp.fft.rfft(frames))
-            mel = jnp.einsum("bfk,km->bfm", spec, fb_t, precision=lax.Precision.HIGHEST)
-            return c + 1, mel
-
-        _, mels = lax.scan(chunk, 0, None, length=n_chunks)
-        mel = jnp.moveaxis(mels, 0, 1).reshape(B, frames_padded, ms.n_mels)[:, :n_frames_max]
+        # windowed span of frame t = rows[t+r0 .. t+r1]: static slices +
+        # concat == hop-strided im2col, no gather, no scan (scan machinery
+        # costs ~10MB of generated code; one-shot einsums tile fine)
+        parts = [rows[:, r0 + k : r0 + k + n_frames_max, :] for k in range(n_win_rows)]
+        frames = jnp.concatenate(parts, axis=2).astype(jnp.float32)
+        re = jnp.einsum("bfs,sk->bfk", frames, w_re, precision=lax.Precision.HIGHEST)
+        im = jnp.einsum("bfs,sk->bfk", frames, w_im, precision=lax.Precision.HIGHEST)
+        spec = jnp.sqrt(re * re + im * im)
+        mel = jnp.einsum("bfk,km->bfm", spec, fb_t, precision=lax.Precision.HIGHEST)
 
         db = 20.0 * jnp.log10(jnp.maximum(mel, 1e-4))
         valid = jnp.arange(n_frames_max, dtype=jnp.int32)[None, :] < n_frames[:, None]
         mx = jnp.max(jnp.where(valid[:, :, None], db, -jnp.inf), axis=(1, 2), keepdims=True)
         db = jnp.maximum(db, mx - 80.0)
 
-        segs = db[:, gather_idx, :]  # (B, T, S, M)
-        segs = jnp.swapaxes(segs, 2, 3)  # (B, T, M, S)
+        # segment windows as im2col via the rows trick (tiny generated code
+        # vs per-window slicing): reshape frames into rows of seg_hop, take
+        # ceil(S/hop) shifted row slices, concat, trim to S
+        k_rows = -(-(ms.seg_length) // ms.seg_hop)
+        R = t_bucket + k_rows  # row count; rows r covers frames [r*hop, (r+1)*hop)
+        need = R * ms.seg_hop
+        dbp = jnp.pad(db, ((0, 0), (0, need - db.shape[1]), (0, 0)))
+        rows_db = dbp.reshape(B, R, ms.seg_hop, ms.n_mels)
+        parts = [rows_db[:, k : k + t_bucket] for k in range(k_rows)]
+        segs = jnp.concatenate(parts, axis=2)[:, :, : ms.seg_length, :]  # (B,T,S,M)
+        segs = jnp.swapaxes(segs, 2, 3)  # (B,T,M,S)
+
         full = n_frames - (ms.seg_length - 1)
         n_wins = (-(-full // ms.seg_hop) if ms.seg_hop > 1 else full).astype(jnp.int32)
         t_mask = jnp.arange(t_bucket, dtype=jnp.int32)[None, :] < n_wins[:, None]
@@ -122,6 +164,41 @@ def _front_end(ms: MsConfig, sr: int, t_bucket: int, frame_chunk: int = 256):
         return segs, n_wins
 
     return fn, buf_len
+
+
+def front_end_consts(ms: MsConfig, sr: int, transport: str = "f32"):
+    """Host-computed windowed-DFT + mel tensors, passed as arguments.
+
+    Never embedded as executable constants (see _front_end notes). The
+    window, the librosa 1/32768 PCM16 scaling (transport='i16'), and the
+    zero-padding of the n_fft frame are all folded into the DFT weights;
+    only the DFT bins the mel filterbank actually reads are kept (rounded
+    up to a lane multiple of 128 for the MXU).
+    """
+    hop = int(sr * ms.hop_s)
+    win = int(sr * ms.win_s)
+    n_fft = ms.n_fft
+    lpad = (n_fft - win) // 2
+    r0 = lpad // hop
+    r1 = (lpad + win - 1) // hop
+    w_cols = (r1 - r0 + 1) * hop
+
+    fb = mel_filterbank(int(sr), n_fft, ms.n_mels, 0.0, ms.fmax)  # (M, K)
+    nz = np.nonzero(fb.any(axis=0))[0]
+    k_hi = int(nz[-1]) + 1 if len(nz) else fb.shape[1]
+    k_keep = min(-(-k_hi // 128) * 128, fb.shape[1])
+
+    window = padded_window(win, n_fft).astype(np.float64)
+    scale = (1.0 / 32768.0) if transport == "i16" else 1.0
+    s_idx = r0 * hop + np.arange(w_cols)
+    in_range = s_idx < n_fft
+    wvals = np.where(in_range, window[np.minimum(s_idx, n_fft - 1)], 0.0) * scale
+    ang = -2.0 * np.pi * np.outer(s_idx, np.arange(k_keep)) / n_fft
+    return {
+        "w_re": (wvals[:, None] * np.cos(ang)).astype(np.float32),
+        "w_im": (wvals[:, None] * np.sin(ang)).astype(np.float32),
+        "fb_t": np.ascontiguousarray(fb[:, :k_keep].T),
+    }
 
 
 class InferenceEngine:
@@ -139,6 +216,7 @@ class InferenceEngine:
         self.precision = precision
         self._pipelines = {}
         self._buf_lens = {}
+        self._consts = {}
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -166,34 +244,47 @@ class InferenceEngine:
 
     # -- compiled pipeline per (sr, bucket) ---------------------------------
 
-    def _pipeline(self, sr: int, t_bucket: int):
-        key = (sr, t_bucket)
+    def _pipeline(self, sr: int, t_bucket: int, transport: str = "f32"):
+        key = (sr, t_bucket, transport)
         if key in self._pipelines:
             return self._pipelines[key]
-        fe, buf_len = _front_end(self.ms, sr, t_bucket)
+        fe, buf_len = _front_end(self.ms, sr, t_bucket, transport=transport)
         model = self.model
         precision = self.precision
 
         if model.double_ended:
-            def run(params, state, a_deg, n_deg, a_ref, n_ref):
+            def run(params, state, consts, a_deg, n_deg, a_ref, n_ref):
                 with jax.default_matmul_precision(precision):
-                    segs_d, w_d = fe(a_deg, n_deg)
-                    segs_r, w_r = fe(a_ref, n_ref)
+                    segs_d, w_d = fe(consts, a_deg, n_deg)
+                    segs_r, w_r = fe(consts, a_ref, n_ref)
                     x = jnp.stack([segs_d, segs_r], axis=2)  # (B, T, 2, M, S)
                     n_wins = jnp.stack([w_d, w_r], axis=1)
                     y, _ = model.apply(params, state, x, n_wins)
                 return y
         else:
-            def run(params, state, audio, n_samples):
+            def run(params, state, consts, audio, n_samples):
                 with jax.default_matmul_precision(precision):
-                    segs, n_wins = fe(audio, n_samples)
+                    segs, n_wins = fe(consts, audio, n_samples)
                     y, _ = model.apply(params, state, segs, n_wins)
                 return y
 
+        ckey = (sr, transport)
+        if ckey not in self._consts:
+            self._consts[ckey] = jax.device_put(front_end_consts(self.ms, sr, transport))
+        consts = self._consts[ckey]
+
+        # Plain jit, NOT .lower().compile(): on relay-attached TPUs the AOT
+        # load path permanently degrades the host link ~40x, while the jit
+        # path (disk-cache-backed) loads the same constant-free executable
+        # cleanly (docs/RELAY_NOTES.md).
         jitted = jax.jit(run)
-        self._pipelines[key] = jitted
+
+        def call(params, state, *batch, _f=jitted, _k=consts):
+            return _f(params, state, _k, *batch)
+
+        self._pipelines[key] = call
         self._buf_lens[key] = buf_len
-        return jitted
+        return call
 
     # -- host side -----------------------------------------------------------
 
@@ -213,46 +304,122 @@ class InferenceEngine:
             sr = int(self.ms.sr)
         return y, sr
 
-    def predict_paths(self, paths, paths_ref=None):
+    def _load_audio_transport(self, path):
+        """Decode for device transport: ('i16', raw_pcm16, sr) fast path or
+        ('f32', float_samples, sr) fallback.
+
+        The i16 fast path applies to plain 16-bit mono PCM with no resampling
+        and enough samples for a single host-free reflect pad — i.e. the
+        standard speech-corpus case. It avoids the float conversion and
+        halves host->device bytes; values are bit-equivalent downstream
+        (scaling folded into the analysis window).
+        """
+        ms = self.ms
+        if not ms.sr:
+            raw = wavio.read_wav_pcm16_mono(path)
+            if raw is not None and len(raw[0]) >= ms.n_fft // 2 + 2:
+                return ("i16", raw[0], raw[1])
+        y, sr = self._load_audio(path)
+        return ("f32", y, sr)
+
+    def warmup(self, paths, paths_ref=None):
+        """Compile + execute each pipeline shape these paths need, once, on
+        dummy zero batches, with NO device->host result fetch.
+
+        Result fetches are deferred because on relay-attached TPUs the first
+        readback of a process degrades later host->device bandwidth ~40x
+        (docs/RELAY_NOTES.md); executing constant-free jit executables is
+        clean. On directly-attached hardware this is an ordinary warmup.
+        """
+        ms = self.ms
+        de = self.model.double_ended
+        with ThreadPoolExecutor(self.num_workers) as ex:
+            audio = list(ex.map(self._load_audio_transport, paths))
+            audio_ref = list(ex.map(self._load_audio_transport, paths_ref)) if de else None
+        shapes = set()
+        for i, (kind, y, sr) in enumerate(audio):
+            nw = ms.n_wins(ms.n_frames(len(y), sr))
+            if de:
+                kind_r, yr, sr_r = audio_ref[i]
+                nw = max(nw, ms.n_wins(ms.n_frames(len(yr), sr_r)))
+                kind = "f32" if "f32" in (kind, kind_r) else "i16"
+            shapes.add((sr, self._bucket_for(nw), kind))
+        pending = []
+        for sr, bucket, kind in sorted(shapes):
+            run = self._pipeline(sr, bucket, kind)
+            buf_len = self._buf_lens[(sr, bucket, kind)]
+            dtype = np.int16 if kind == "i16" else np.float32
+            buf = np.zeros((self.batch_size, buf_len), dtype)
+            hop = int(sr * ms.hop_s)
+            n_full = ((bucket - 1) * ms.seg_hop + ms.seg_length - 1) * hop
+            n = np.full((self.batch_size,), n_full, np.int32)
+            batch = (buf, n) * (2 if de else 1)
+            pending.append(run(self.params, self.state, *batch))
+        for y in pending:
+            y.block_until_ready()
+
+    def predict_paths(self, paths, paths_ref=None, fetch=True):
         """Predict for a list of wav paths -> (N, out_dim) float32.
 
         Groups files by (sr, bucket), batches within groups, restores input
         order. Host decode runs in a thread pool overlapped with device work.
+        All dispatches (uploads + compute) are queued before the single
+        result collection at the end. ``fetch=False`` blocks on completion
+        and returns None (see :meth:`warmup`).
         """
         ms = self.ms
         N = len(paths)
         de = self.model.double_ended
 
         with ThreadPoolExecutor(self.num_workers) as ex:
-            audio = list(ex.map(self._load_audio, paths))
-            audio_ref = list(ex.map(self._load_audio, paths_ref)) if de else None
+            audio = list(ex.map(self._load_audio_transport, paths))
+            audio_ref = list(ex.map(self._load_audio_transport, paths_ref)) if de else None
 
         metas = []
-        for i, (y, sr) in enumerate(audio):
+        for i, (kind, y, sr) in enumerate(audio):
             nf = ms.n_frames(len(y), sr)
             nw = ms.n_wins(nf)
             if de:
-                yr, sr_r = audio_ref[i]
+                kind_r, yr, sr_r = audio_ref[i]
                 if sr_r != sr:
                     raise ValueError(f"deg/ref sample rates differ for item {i}")
                 nw = max(nw, ms.n_wins(ms.n_frames(len(yr), sr)))
-            metas.append((i, sr, self._bucket_for(nw)))
+                kind = "f32" if "f32" in (kind, kind_r) else "i16"
+            metas.append((i, sr, self._bucket_for(nw), kind))
 
         groups = {}
-        for i, sr, bucket in metas:
-            groups.setdefault((sr, bucket), []).append(i)
+        for i, sr, bucket, kind in metas:
+            groups.setdefault((sr, bucket, kind), []).append(i)
 
-        out = None
-        pending = []
-        for (sr, bucket), idxs in sorted(groups.items()):
-            run = self._pipeline(sr, bucket)
-            buf_len = self._buf_lens[(sr, bucket)]
+        # Phase 1: fill + upload ALL batches before the first execution.
+        # On relay-attached TPUs, running a pipeline executable degrades
+        # subsequent host->device bandwidth ~40x for the rest of the process
+        # (measured; see docs/RELAY_NOTES.md). Front-loading the uploads keeps
+        # them at full link speed; dispatches then run back-to-back on
+        # device-resident args. On direct-attached hardware this ordering is
+        # neutral.
+        staged = []
+        for (sr, bucket, kind), idxs in sorted(groups.items()):
+            run = self._pipeline(sr, bucket, kind)
+            buf_len = self._buf_lens[(sr, bucket, kind)]
             bs = self.batch_size
             for start in range(0, len(idxs), bs):
                 chunk = idxs[start : start + bs]
-                batch_args = self._make_batch(chunk, audio, audio_ref, buf_len, bs, de)
-                y = run(self.params, self.state, *batch_args)
-                pending.append((chunk, y))
+                batch_args = self._make_batch(chunk, audio, audio_ref, buf_len, bs, de, kind)
+                dev_args = tuple(
+                    a if hasattr(a, "devices") else jax.device_put(a) for a in batch_args
+                )
+                staged.append((run, chunk, dev_args))
+
+        # Phase 2: dispatch everything.
+        out = None
+        pending = [(chunk, run(self.params, self.state, *dev_args))
+                   for run, chunk, dev_args in staged]
+
+        if not fetch:
+            for _, y in pending:
+                y.block_until_ready()
+            return None
 
         for chunk, y in pending:
             y = np.asarray(y)
@@ -261,19 +428,47 @@ class InferenceEngine:
             out[np.asarray(chunk)] = y[: len(chunk)]
         return out
 
-    def _make_batch(self, chunk, audio, audio_ref, buf_len, bs, de):
-        def fill(source):
-            buf = np.zeros((bs, buf_len), dtype=np.float32)
-            n = np.zeros((bs,), dtype=np.int32)
+    def _make_batch(self, chunk, audio, audio_ref, buf_len, bs, de, kind):
+        pad = self.ms.n_fft // 2
+
+        def fill_i16(source):
+            # raw PCM16 transport: [left reflect 2048][samples][right reflect
+            # 2048][bounded garbage]. np.empty (no zeroing): int16 garbage is
+            # bounded, produces finite mels, and every garbage frame/segment
+            # is masked downstream by n_frames/n_wins.
+            buf = np.empty((bs, buf_len), dtype="<i2")
+            n = np.empty((bs,), dtype=np.int32)
             for j, i in enumerate(chunk):
-                y, _ = source[i]
-                buf[j, : len(y) + self.ms.n_fft] = pad_audio_for_batch(y, self.ms.n_fft, len(y) + self.ms.n_fft)
-                n[j] = len(y)
-            if len(chunk) < bs:  # pad batch with copies of the first row
-                buf[len(chunk):] = buf[0]
+                x = source[i][1]
+                ln = len(x)
+                buf[j, :pad] = x[pad:0:-1]
+                buf[j, pad : pad + ln] = x
+                # the tail of the right reflect pad past the last read
+                # position is never consumed; clamp to the buffer
+                take = min(pad, buf_len - (pad + ln))
+                if take > 0:
+                    buf[j, pad + ln : pad + ln + take] = x[ln - 2 : ln - 2 - take : -1]
+                n[j] = ln
+            if len(chunk) < bs:
                 n[len(chunk):] = n[0]
             return buf, n
 
+        def fill_f32(source):
+            buf = np.zeros((bs, buf_len), dtype=np.float32)
+            n = np.zeros((bs,), dtype=np.int32)
+            for j, i in enumerate(chunk):
+                x = source[i][1]
+                if source[i][0] == "i16":
+                    x = x.astype(np.float32) / 32768.0
+                padded = pad_audio_for_batch(x, self.ms.n_fft, len(x) + self.ms.n_fft)
+                w = min(len(padded), buf_len)  # pad tail past last read is unused
+                buf[j, :w] = padded[:w]
+                n[j] = len(x)
+            if len(chunk) < bs:
+                n[len(chunk):] = n[0]
+            return buf, n
+
+        fill = fill_i16 if kind == "i16" else fill_f32
         buf_d, n_d = fill(audio)
         args = [buf_d, n_d]
         if de:

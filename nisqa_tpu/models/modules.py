@@ -199,15 +199,70 @@ def _adaptive_bins(n_in: int, n_out: int):
     return starts, ends
 
 
+def _adaptive_pool_1d(x, axis, n_out):
+    """Adaptive max pooling along one axis with torch bin semantics.
+
+    Compiled-code-size matters on TPU (a naive per-bin slice+stack emits
+    ~250KB of fused-loop code per bin): express the pooling as one
+    reduce_window per distinct bin size plus a handful of strided slices
+    selecting the bin starts (bins differ by at most one in size).
+    """
+    n_in = x.shape[axis]
+    starts, ends = _adaptive_bins(n_in, n_out)
+    sizes = [e - s for s, e in zip(starts, ends)]
+
+    # uniform fast path: one reduce_window with stride == size
+    if len(set(sizes)) == 1 and all(
+        starts[i + 1] - starts[i] == sizes[0] for i in range(len(starts) - 1)
+    ):
+        dims = [1] * x.ndim
+        strides = [1] * x.ndim
+        dims[axis] = sizes[0]
+        strides[axis] = sizes[0]
+        return lax.reduce_window(x, -jnp.inf, lax.max, dims, strides, "VALID")
+
+    # general path: sliding max per distinct size, then strided-slice runs
+    pooled = {}
+    for s in set(sizes):
+        dims = [1] * x.ndim
+        strides = [1] * x.ndim
+        dims[axis] = s
+        return_shape_len = n_in - s + 1
+        pooled[s] = lax.reduce_window(x, -jnp.inf, lax.max, dims, strides, "VALID")
+
+    # group consecutive bins with equal size and uniform start stride
+    pieces = []
+    i = 0
+    n_bins = len(starts)
+    while i < n_bins:
+        j = i + 1
+        stride = None
+        while j < n_bins and sizes[j] == sizes[i]:
+            st = starts[j] - starts[j - 1]
+            if stride is None:
+                stride = st
+            elif st != stride:
+                break
+            j += 1
+        stride = stride or 1
+        src = pooled[sizes[i]]
+        lo = [0] * x.ndim
+        hi = list(src.shape)
+        stv = [1] * x.ndim
+        lo[axis] = starts[i]
+        hi[axis] = starts[j - 1] + 1
+        stv[axis] = stride
+        pieces.append(lax.slice(src, lo, hi, stv))
+        i = j
+    return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=axis)
+
+
 def adaptive_max_pool2d(x, out_hw):
-    """x: (N, H, W, C) -> (N, oh, ow, C). Static shapes; bins precomputed."""
-    oh, ow = int(out_hw[0]), int(out_hw[1])
-    n, h, w, c = x.shape
-    hs, he = _adaptive_bins(h, oh)
-    ws, we = _adaptive_bins(w, ow)
-    # separable: max over H bins, then W bins
-    x = jnp.stack([jnp.max(x[:, s:e], axis=1) for s, e in zip(hs, he)], axis=1)
-    x = jnp.stack([jnp.max(x[:, :, s:e], axis=2) for s, e in zip(ws, we)], axis=2)
+    """x: (N, H, W, C) -> (N, oh, ow, C), torch F.adaptive_max_pool2d bins.
+
+    Separable (max over a rectangle == max over rows then cols)."""
+    x = _adaptive_pool_1d(x, 1, int(out_hw[0]))
+    x = _adaptive_pool_1d(x, 2, int(out_hw[1]))
     return x
 
 

@@ -63,8 +63,13 @@ class TrainEngine:
     def _fe(self, sr, bucket):
         key = (sr, bucket)
         if key not in self._fe_cache:
+            from ..data.pipeline import front_end_consts
+
             fn, buf_len = _front_end(self.ms, sr, bucket)
-            self._fe_cache[key] = (jax.jit(fn), buf_len)
+            consts = jax.device_put(front_end_consts(self.ms, sr))
+            jitted = jax.jit(fn)
+            call = lambda audio, n, _f=jitted, _c=consts: _f(_c, audio, n)
+            self._fe_cache[key] = (call, buf_len)
         return self._fe_cache[key]
 
     # -- train step -----------------------------------------------------------
@@ -183,7 +188,9 @@ class TrainEngine:
             buf = np.zeros((B, buf_len), dtype=np.float32)
             n = np.zeros((B,), dtype=np.int32)
             for j, (y, _) in enumerate(source):
-                buf[j, : len(y) + ms.n_fft] = pad_audio_for_batch(y, ms.n_fft, len(y) + ms.n_fft)
+                padded = pad_audio_for_batch(y, ms.n_fft, len(y) + ms.n_fft)
+                w = min(len(padded), buf_len)  # pad tail past last read is unused
+                buf[j, :w] = padded[:w]
                 n[j] = len(y)
             return buf, n
 

@@ -1,0 +1,114 @@
+"""Measure the reference (PyTorch CPU) predict_dir throughput baseline.
+
+librosa is not installed, so the reference front-end is stood in for by this
+repo's numpy mel implementation (melspec_np) which matches it numerically
+(<1e-3 dB) and is in the same CPU cost class. The rest is the reference's own
+stack: torch Dataset -> DataLoader(bs=32, workers) -> NISQA_DIM forward on
+CPU, eval mode — i.e. the `predict_dir` call stack of
+`/root/reference/nisqa/NISQA_lib.py:1441-1467`.
+
+Result goes to BASELINE.md and is the `vs_baseline` denominator in bench.py.
+"""
+
+import os
+import sys
+import time
+import types
+
+import numpy as np
+
+sys.modules.setdefault("librosa", types.ModuleType("librosa"))
+sys.path.insert(0, "/root/reference")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import torch  # noqa: E402
+from torch.utils.data import DataLoader, Dataset  # noqa: E402
+
+from nisqa import NISQA_lib as NL  # noqa: E402
+from nisqa_tpu.audio.melspec import melspec_np  # noqa: E402
+from nisqa_tpu.audio.wav import read_wav, write_wav  # noqa: E402
+from nisqa_tpu.compat.model_args import model_args_from_ckpt_args  # noqa: E402
+
+
+def make_corpus(out_dir, n_files=96, seed=0):
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    paths, total_sec = [], 0.0
+    for i in range(n_files):
+        sr = 48000
+        dur = float(rng.uniform(5.0, 12.0))
+        t = np.arange(int(sr * dur)) / sr
+        f0 = rng.uniform(100, 300)
+        y = (
+            0.3 * np.sin(2 * np.pi * f0 * t)
+            + 0.1 * np.sin(2 * np.pi * 3.1 * f0 * t)
+            + 0.05 * rng.standard_normal(len(t))
+        )
+        p = os.path.join(out_dir, f"bench_{i:03d}.wav")
+        write_wav(p, y.astype(np.float32), sr)
+        paths.append(p)
+        total_sec += len(t) / sr
+    return paths, total_sec
+
+
+class RefStyleDataset(Dataset):
+    def __init__(self, paths, args):
+        self.paths = paths
+        self.args = args
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, i):
+        a = self.args
+        y, sr = read_wav(self.paths[i])
+        spec = melspec_np(
+            y, sr, n_fft=a["ms_n_fft"], hop_s=a["ms_hop_length"],
+            win_s=a["ms_win_length"], n_mels=a["ms_n_mels"], fmax=a["ms_fmax"],
+        )
+        x, n_wins = NL.segment_specs(
+            self.paths[i], torch.from_numpy(spec), a["ms_seg_length"],
+            a["ms_seg_hop_length"], a["ms_max_segments"],
+        )
+        return x, np.array(n_wins)
+
+
+def main():
+    import tempfile
+
+    ckpt = torch.load("/root/reference/weights/nisqa.tar", map_location="cpu", weights_only=False)
+    args = dict(ckpt["args"])
+    args["model"] = "NISQA_DIM"
+    margs = model_args_from_ckpt_args(args)
+    if isinstance(margs["cnn_kernel_size"], list):
+        margs["cnn_kernel_size"] = tuple(margs["cnn_kernel_size"])
+    model = NL.NISQA_DIM(**margs)
+    model.load_state_dict(ckpt["model_state_dict"], strict=True)
+    model.eval()
+
+    tmp = tempfile.mkdtemp(prefix="nisqa_bench_ref_")
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+    workers = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    paths, total_sec = make_corpus(tmp, n_files)
+    ds = RefStyleDataset(paths, args)
+    dl = DataLoader(ds, batch_size=32, shuffle=False, num_workers=workers)
+
+    # warmup (one batch through the model)
+    xb, nw = next(iter(DataLoader(ds, batch_size=2, num_workers=0)))
+    with torch.no_grad():
+        model(xb, nw)
+
+    tic = time.time()
+    outs = []
+    with torch.no_grad():
+        for xb, nw in dl:
+            outs.append(model(xb, nw).numpy())
+    wall = time.time() - tic
+    out = np.concatenate(outs)
+    print(f"files={len(paths)} audio={total_sec:.1f}s wall={wall:.2f}s "
+          f"throughput={total_sec / wall:.2f} audio-sec/sec (workers={workers})")
+    print("first preds:", out[:2, 0])
+
+
+if __name__ == "__main__":
+    main()
