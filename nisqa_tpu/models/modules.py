@@ -363,7 +363,9 @@ def lstm_layer(p, x, n_wins, reverse=False):
     def step(carry, inp):
         h, c = carry
         gates_x, v = inp
-        gates = gates_x + h @ p["w_hh"]
+        # recurrent matmul at highest precision: error compounds over T
+        # steps and this (H x 4H) product is bandwidth-bound anyway
+        gates = gates_x + jnp.dot(h, p["w_hh"], precision=lax.Precision.HIGHEST)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
         g = jnp.tanh(g)
