@@ -80,7 +80,7 @@ class MsConfig:
 
 
 def _front_end(ms: MsConfig, sr: int, t_bucket: int, frame_chunk: int = 256,
-               transport: str = "f32"):
+               transport: str = "f32", pallas_mel: bool = False):
     """Build the traced front-end: (audio_buf, n_samples) -> (segs, n_wins).
 
     Returns (fn, buf_len). Everything is static-shape; see
@@ -135,10 +135,17 @@ def _front_end(ms: MsConfig, sr: int, t_bucket: int, frame_chunk: int = 256,
         # costs ~10MB of generated code; one-shot einsums tile fine)
         parts = [rows[:, r0 + k : r0 + k + n_frames_max, :] for k in range(n_win_rows)]
         frames = jnp.concatenate(parts, axis=2).astype(jnp.float32)
-        re = jnp.einsum("bfs,sk->bfk", frames, w_re, precision=lax.Precision.HIGHEST)
-        im = jnp.einsum("bfs,sk->bfk", frames, w_im, precision=lax.Precision.HIGHEST)
-        spec = jnp.sqrt(re * re + im * im)
-        mel = jnp.einsum("bfk,km->bfm", spec, fb_t, precision=lax.Precision.HIGHEST)
+        if pallas_mel:
+            from ..ops.pallas_mel import fused_dft_mel
+
+            mel = fused_dft_mel(
+                frames.reshape(B * n_frames_max, -1), w_re, w_im, fb_t
+            ).reshape(B, n_frames_max, ms.n_mels)
+        else:
+            re = jnp.einsum("bfs,sk->bfk", frames, w_re, precision=lax.Precision.HIGHEST)
+            im = jnp.einsum("bfs,sk->bfk", frames, w_im, precision=lax.Precision.HIGHEST)
+            spec = jnp.sqrt(re * re + im * im)
+            mel = jnp.einsum("bfk,km->bfm", spec, fb_t, precision=lax.Precision.HIGHEST)
 
         db = 20.0 * jnp.log10(jnp.maximum(mel, 1e-4))
         valid = jnp.arange(n_frames_max, dtype=jnp.int32)[None, :] < n_frames[:, None]
@@ -205,7 +212,8 @@ class InferenceEngine:
     """Compiled predict pipelines keyed by (sample_rate, T bucket, batch)."""
 
     def __init__(self, model, params, state, ms: MsConfig, batch_size: int = 32,
-                 mesh=None, num_workers: int = 8, precision: str = "default"):
+                 mesh=None, num_workers: int = 8, precision: str = "default",
+                 pallas_mel: bool = False):
         self.model = model
         self.ms = ms
         self.batch_size = int(batch_size)
@@ -214,6 +222,9 @@ class InferenceEngine:
         # 'default' = fast TPU bf16-pass matmuls (MOS parity < 0.01 abs);
         # 'highest' = f32-accumulated passes for tightest reference parity
         self.precision = precision
+        # fused Pallas DFT->mel kernel (VMEM-resident re/im; ~8x less HBM
+        # traffic in the front-end). Off by default; see ops/pallas_mel.py
+        self.pallas_mel = pallas_mel
         self._pipelines = {}
         self._buf_lens = {}
         self._consts = {}
@@ -248,7 +259,9 @@ class InferenceEngine:
         key = (sr, t_bucket, transport)
         if key in self._pipelines:
             return self._pipelines[key]
-        fe, buf_len = _front_end(self.ms, sr, t_bucket, transport=transport)
+        fe, buf_len = _front_end(
+            self.ms, sr, t_bucket, transport=transport, pallas_mel=self.pallas_mel
+        )
         model = self.model
         precision = self.precision
 
@@ -270,7 +283,12 @@ class InferenceEngine:
 
         ckey = (sr, transport)
         if ckey not in self._consts:
-            self._consts[ckey] = jax.device_put(front_end_consts(self.ms, sr, transport))
+            fc = front_end_consts(self.ms, sr, transport)
+            if self.pallas_mel:
+                from ..ops.pallas_mel import pad_consts_for_pallas
+
+                fc = pad_consts_for_pallas(fc)
+            self._consts[ckey] = jax.device_put(fc)
         consts = self._consts[ckey]
 
         # Plain jit, NOT .lower().compile(): on relay-attached TPUs the AOT

@@ -1,0 +1,80 @@
+"""Pallas TPU kernel: fused windowed-DFT magnitude -> mel projection.
+
+The XLA formulation (nisqa_tpu/data/pipeline._front_end) materialises the
+re/im DFT responses (frames x kept_bins, ~2 x 230 MB at the largest bucket)
+in HBM between three einsums. This kernel keeps them in VMEM: for each
+frame tile it accumulates  mel += |frames @ W_re[kt] + i * frames @ W_im[kt]|
+@ fb[kt]  over DFT-bin tiles, so only frames (in) and mel (out) touch HBM —
+an ~8x HBM-traffic reduction for the front-end on direct-attached hardware.
+
+Grid: (frame_tiles, k_tiles); the output block is revisited across the k
+dimension and used as the accumulator (standard TPU Pallas reduction
+pattern). All tensors arrive as arguments — no embedded constants (see
+docs/RELAY_NOTES.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mel_kernel(frames_ref, w_re_ref, w_im_ref, fb_ref, out_ref):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    f = frames_ref[:]  # (tile_f, span)
+    re = jnp.dot(f, w_re_ref[:], preferred_element_type=jnp.float32)
+    im = jnp.dot(f, w_im_ref[:], preferred_element_type=jnp.float32)
+    mag = jnp.sqrt(re * re + im * im)  # (tile_f, tile_k)
+    out_ref[:] += jnp.dot(mag, fb_ref[:], preferred_element_type=jnp.float32)
+
+
+def fused_dft_mel(frames, w_re, w_im, fb_kt, tile_f: int = 256, tile_k: int = 512):
+    """frames: (N, span) f32; w_re/w_im: (span, K); fb_kt: (K, M).
+
+    Returns mel (N, M) f32 == |frames @ (w_re + i w_im)| @ fb_kt.
+    N must be a multiple of 8; K a multiple of tile_k (pad with zero
+    columns); M <= 128 recommended (one lane tile).
+    """
+    n, span = frames.shape
+    k_total = w_re.shape[1]
+    m = fb_kt.shape[1]
+    assert k_total % tile_k == 0, "pad DFT bins to a tile_k multiple"
+    grid = (pl.cdiv(n, tile_f), k_total // tile_k)
+
+    return pl.pallas_call(
+        _mel_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_f, span), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((span, tile_k), lambda i, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((span, tile_k), lambda i, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k, m), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_f, m), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+    )(frames, w_re, w_im, fb_kt)
+
+
+def pad_consts_for_pallas(consts: dict, tile_k: int = 512) -> dict:
+    """Zero-pad the DFT/mel tensors so kept_bins % tile_k == 0 (zero columns
+    contribute |0| * 0 to the mel accumulation)."""
+    w_re, w_im, fb_t = consts["w_re"], consts["w_im"], consts["fb_t"]
+    k = w_re.shape[1]
+    k_pad = -(-k // tile_k) * tile_k - k
+    if k_pad:
+        zw = np.zeros((w_re.shape[0], k_pad), np.float32)
+        zf = np.zeros((k_pad, fb_t.shape[1]), np.float32)
+        w_re = np.concatenate([w_re, zw], axis=1)
+        w_im = np.concatenate([w_im, zw], axis=1)
+        fb_t = np.concatenate([fb_t, zf], axis=0)
+    return {"w_re": w_re, "w_im": w_im, "fb_t": fb_t}
