@@ -199,10 +199,23 @@ class NisqaTPU:
 
     # -- public API ----------------------------------------------------------
 
+    def _profiled(self):
+        """Optional jax.profiler trace (SURVEY.md §5: the reference has no
+        tracing at all; set args['profile_dir'] to capture a device trace)."""
+        import contextlib
+
+        trace_dir = self.args.get("profile_dir")
+        if not trace_dir:
+            return contextlib.nullcontext()
+        import jax
+
+        return jax.profiler.trace(trace_dir)
+
     def predict(self) -> pd.DataFrame:
         print("---> Predicting ...")
         engine = self._engine()
-        y_hat = engine.predict_paths(self.ds_val.paths(), self.ds_val.paths_ref())
+        with self._profiled():
+            y_hat = engine.predict_paths(self.ds_val.paths(), self.ds_val.paths_ref())
         self.ds_val.write_predictions(y_hat)
         if self.args.get("output_dir"):
             self.ds_val.df["model"] = self.args["name"]

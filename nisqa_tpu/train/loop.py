@@ -57,6 +57,24 @@ class TrainEngine:
         self._fe_cache = {}
         self._step_cache = {}
         self.opt_state = self.opt.init(runner.params)
+        # tr_ds_to_memory analog (`NISQA_lib.py:2109-2127`): the reference
+        # caches mel specs in RAM; decoded audio is the cheaper equivalent
+        # here since the front-end runs on-device
+        self._audio_cache = {} if runner.args.get("tr_ds_to_memory") else None
+
+    def _loader(self):
+        base = self.runner._engine_audio_loader()
+        if self._audio_cache is None:
+            return base
+        cache = self._audio_cache
+
+        def load(path):
+            hit = cache.get(path)
+            if hit is None:
+                hit = cache[path] = base(path)
+            return hit
+
+        return load
 
     # -- feature extraction (jitted per (sr, bucket, B)) ---------------------
 
@@ -128,7 +146,7 @@ class TrainEngine:
 
         workers = max(1, int(runner.args.get("tr_num_workers") or 8))
         pool = ThreadPoolExecutor(workers)
-        engine_load = runner._engine_audio_loader()
+        engine_load = self._loader()
 
         y_hat_all = np.zeros((N, K), dtype=np.float32)
         total_loss, n_batches = 0.0, 0
@@ -266,6 +284,44 @@ class ResultsWriter:
 # ---------------------------------------------------------------------------
 
 
+def _maybe_resume(runner, engine, bias_losses):
+    """Full train-state resume from a native checkpoint (``tr_resume`` arg) —
+    params, BN stats, optimizer moments, bias-loss coefficients, epoch. The
+    reference can only warm-start weights (SURVEY.md §5)."""
+    base = runner.args.get("tr_resume")
+    if not base:
+        return 0
+    for suffix in (".tar", ".msgpack"):
+        if base.endswith(suffix):
+            base = base[: -len(suffix)]
+    from .checkpoint import load_train_state
+
+    if len(bias_losses) > 1:
+        bias_template = np.stack([bl.b for bl in bias_losses], axis=1)
+    else:
+        bias_template = bias_losses[0].b
+    template = {
+        "params": runner.params,
+        "bn_state": runner.state,
+        "opt_state": engine.opt_state,
+        "bias_b": bias_template,
+    }
+    restored = load_train_state(base, template)
+    runner.params = restored["params"]
+    runner.state = restored["bn_state"]
+    engine.opt_state = restored["opt_state"]
+    bias_b = np.asarray(restored["bias_b"])
+    if bias_b.size:
+        if len(bias_losses) > 1:
+            for k, bl in enumerate(bias_losses):
+                bl.b = bias_b[:, k].copy()
+        else:
+            bias_losses[0].b = bias_b.copy()
+    start = int(restored["meta"].get("epoch", 0))
+    print(f"--> resumed from {base} at epoch {start}")
+    return start
+
+
 def _bias_losses(runner, k):
     args = runner.args
     return [
@@ -290,9 +346,10 @@ def train_mos(runner):
     writer = ResultsWriter(runner, runname)
     verbose = args.get("tr_verbose", 0)
     rng = jax.random.PRNGKey(int(args.get("seed", 0)))
+    start_epoch = _maybe_resume(runner, engine, bias_losses)
 
     print("--> start training")
-    for epoch in range(args["tr_epochs"]):
+    for epoch in range(start_epoch, args["tr_epochs"]):
         tic = time.time()
         rng, rng_ep = jax.random.split(rng)
         loss, y_hat = engine.run_epoch(
@@ -361,9 +418,10 @@ def train_dim(runner):
     writer = ResultsWriter(runner, runname)
     verbose = args.get("tr_verbose", 0)
     rng = jax.random.PRNGKey(int(args.get("seed", 0)))
+    start_epoch = _maybe_resume(runner, engine, bias_losses)
 
     print("--> start training")
-    for epoch in range(args["tr_epochs"]):
+    for epoch in range(start_epoch, args["tr_epochs"]):
         tic = time.time()
         rng, rng_ep = jax.random.split(rng)
         loss, y_hat = engine.run_epoch(
