@@ -322,6 +322,34 @@ class InferenceEngine:
             sr = int(self.ms.sr)
         return y, sr
 
+    def _scan_transport(self, paths):
+        """Per-file transport descriptors without decoding sample data.
+
+        Uses the native C++ header scanner when eligible; entries are
+        ('native', n_samples, sr) — data is decoded later inside the C++
+        batch fill — or full Python fallback tuples from
+        :meth:`_load_audio_transport`.
+        """
+        from . import native
+
+        ms = self.ms
+        out = [None] * len(paths)
+        todo = list(range(len(paths)))
+        if not ms.sr and ms.channel is None and native.available() and paths:
+            n_s, sr_s, status = native.scan_wavs(paths, n_threads=self.num_workers)
+            min_n = ms.n_fft // 2 + 2
+            todo = []
+            for i in range(len(paths)):
+                if status[i] == 0 and n_s[i] >= min_n:
+                    out[i] = ("native", int(n_s[i]), int(sr_s[i]))
+                else:
+                    todo.append(i)
+        if todo:
+            with ThreadPoolExecutor(self.num_workers) as ex:
+                for i, v in zip(todo, ex.map(self._load_audio_transport, (paths[i] for i in todo))):
+                    out[i] = v
+        return out
+
     def _load_audio_transport(self, path):
         """Decode for device transport: ('i16', raw_pcm16, sr) fast path or
         ('f32', float_samples, sr) fallback.
@@ -351,16 +379,24 @@ class InferenceEngine:
         """
         ms = self.ms
         de = self.model.double_ended
-        with ThreadPoolExecutor(self.num_workers) as ex:
-            audio = list(ex.map(self._load_audio_transport, paths))
-            audio_ref = list(ex.map(self._load_audio_transport, paths_ref)) if de else None
+        audio = self._scan_transport(paths)
+        audio_ref = self._scan_transport(paths_ref) if de else None
+
+        def n_of(entry):
+            return entry[1] if entry[0] == "native" else len(entry[1])
+
+        def kind_of(entry):
+            return "i16" if entry[0] == "native" else entry[0]
+
         shapes = set()
-        for i, (kind, y, sr) in enumerate(audio):
-            nw = ms.n_wins(ms.n_frames(len(y), sr))
+        for i, entry in enumerate(audio):
+            sr = entry[2]
+            nw = ms.n_wins(ms.n_frames(n_of(entry), sr))
+            kind = kind_of(entry)
             if de:
-                kind_r, yr, sr_r = audio_ref[i]
-                nw = max(nw, ms.n_wins(ms.n_frames(len(yr), sr_r)))
-                kind = "f32" if "f32" in (kind, kind_r) else "i16"
+                ref = audio_ref[i]
+                nw = max(nw, ms.n_wins(ms.n_frames(n_of(ref), ref[2])))
+                kind = "f32" if "f32" in (kind, kind_of(ref)) else "i16"
             shapes.add((sr, self._bucket_for(nw), kind))
         pending = []
         for sr, bucket, kind in sorted(shapes):
@@ -389,20 +425,26 @@ class InferenceEngine:
         N = len(paths)
         de = self.model.double_ended
 
-        with ThreadPoolExecutor(self.num_workers) as ex:
-            audio = list(ex.map(self._load_audio_transport, paths))
-            audio_ref = list(ex.map(self._load_audio_transport, paths_ref)) if de else None
+        audio = self._scan_transport(paths)
+        audio_ref = self._scan_transport(paths_ref) if de else None
+
+        def n_of(entry):
+            return entry[1] if entry[0] == "native" else len(entry[1])
+
+        def kind_of(entry):
+            return "i16" if entry[0] == "native" else entry[0]
 
         metas = []
-        for i, (kind, y, sr) in enumerate(audio):
-            nf = ms.n_frames(len(y), sr)
-            nw = ms.n_wins(nf)
+        for i, entry in enumerate(audio):
+            sr = entry[2]
+            nw = ms.n_wins(ms.n_frames(n_of(entry), sr))
+            kind = kind_of(entry)
             if de:
-                kind_r, yr, sr_r = audio_ref[i]
-                if sr_r != sr:
+                ref = audio_ref[i]
+                if ref[2] != sr:
                     raise ValueError(f"deg/ref sample rates differ for item {i}")
-                nw = max(nw, ms.n_wins(ms.n_frames(len(yr), sr)))
-                kind = "f32" if "f32" in (kind, kind_r) else "i16"
+                nw = max(nw, ms.n_wins(ms.n_frames(n_of(ref), sr)))
+                kind = "f32" if "f32" in (kind, kind_of(ref)) else "i16"
             metas.append((i, sr, self._bucket_for(nw), kind))
 
         groups = {}
@@ -423,7 +465,10 @@ class InferenceEngine:
             bs = self.batch_size
             for start in range(0, len(idxs), bs):
                 chunk = idxs[start : start + bs]
-                batch_args = self._make_batch(chunk, audio, audio_ref, buf_len, bs, de, kind)
+                batch_args = self._make_batch(
+                    chunk, audio, audio_ref, buf_len, bs, de, kind,
+                    paths=paths, paths_ref=paths_ref,
+                )
                 dev_args = tuple(
                     a if hasattr(a, "devices") else jax.device_put(a) for a in batch_args
                 )
@@ -446,17 +491,38 @@ class InferenceEngine:
             out[np.asarray(chunk)] = y[: len(chunk)]
         return out
 
-    def _make_batch(self, chunk, audio, audio_ref, buf_len, bs, de, kind):
+    def _make_batch(self, chunk, audio, audio_ref, buf_len, bs, de, kind,
+                    paths=None, paths_ref=None):
         pad = self.ms.n_fft // 2
 
-        def fill_i16(source):
+        def fill_i16(source, src_paths):
             # raw PCM16 transport: [left reflect 2048][samples][right reflect
             # 2048][bounded garbage]. np.empty (no zeroing): int16 garbage is
             # bounded, produces finite mels, and every garbage frame/segment
             # is masked downstream by n_frames/n_wins.
             buf = np.empty((bs, buf_len), dtype="<i2")
             n = np.empty((bs,), dtype=np.int32)
+            native_items = [(j, i) for j, i in enumerate(chunk) if source[i][0] == "native"]
+            if native_items and src_paths is not None:
+                from . import native
+
+                # C++ decode + reflect-pad fill, threaded, GIL-free
+                sub = np.empty((len(native_items), buf_len), dtype=np.int16)
+                ns, srs, status = native.fill_batch_i16(
+                    [src_paths[i] for _, i in native_items], sub, pad,
+                    n_threads=self.num_workers,
+                )
+                for row, (j, i) in enumerate(native_items):
+                    if status[row] == 0:
+                        buf[j] = sub[row]
+                        n[j] = ns[row]
+                    else:  # rare race (file changed since scan): python path
+                        x, _ = wavio.read_wav(src_paths[i])
+                        x = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+                        source[i] = ("i16", x, source[i][2])
             for j, i in enumerate(chunk):
+                if source[i][0] == "native":
+                    continue
                 x = source[i][1]
                 ln = len(x)
                 buf[j, :pad] = x[pad:0:-1]
@@ -471,10 +537,12 @@ class InferenceEngine:
                 n[len(chunk):] = n[0]
             return buf, n
 
-        def fill_f32(source):
+        def fill_f32(source, src_paths):
             buf = np.zeros((bs, buf_len), dtype=np.float32)
             n = np.zeros((bs,), dtype=np.int32)
             for j, i in enumerate(chunk):
+                if source[i][0] == "native":  # mixed DE pair: decode as float
+                    source[i] = ("f32",) + self._load_audio(src_paths[i])
                 x = source[i][1]
                 if source[i][0] == "i16":
                     x = x.astype(np.float32) / 32768.0
@@ -487,10 +555,10 @@ class InferenceEngine:
             return buf, n
 
         fill = fill_i16 if kind == "i16" else fill_f32
-        buf_d, n_d = fill(audio)
+        buf_d, n_d = fill(audio, paths)
         args = [buf_d, n_d]
         if de:
-            buf_r, n_r = fill(audio_ref)
+            buf_r, n_r = fill(audio_ref, paths_ref)
             args += [buf_r, n_r]
         if self._data_sharding is not None:
             args = [jax.device_put(a, self._data_sharding) for a in args]
