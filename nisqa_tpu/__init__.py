@@ -26,6 +26,9 @@ def _setup_compilation_cache():
 
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # CPU executables are AOT-compiled for the build machine's ISA; a
+        # shared cache across machine types risks SIGILL on load
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     except Exception:
         pass
 

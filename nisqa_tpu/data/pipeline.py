@@ -218,6 +218,10 @@ class InferenceEngine:
         self.ms = ms
         self.batch_size = int(batch_size)
         self.mesh = mesh
+        if mesh is not None:
+            # the batch axis shards over 'data': round up to a mesh multiple
+            n_dev = mesh.size
+            self.batch_size = -(-self.batch_size // n_dev) * n_dev
         self.num_workers = max(1, int(num_workers))
         # 'default' = fast TPU bf16-pass matmuls (MOS parity < 0.01 abs);
         # 'highest' = f32-accumulated passes for tightest reference parity

@@ -61,6 +61,21 @@ class TrainEngine:
         # caches mel specs in RAM; decoded audio is the cheaper equivalent
         # here since the front-end runs on-device
         self._audio_cache = {} if runner.args.get("tr_ds_to_memory") else None
+        # data-parallel training over the device mesh (the TPU-native
+        # replacement for the reference's nn.DataParallel wrap,
+        # `NISQA_model.py:88-89,239-240`): batches shard over 'data',
+        # params/optimizer replicate, XLA inserts the gradient psum
+        self.mesh = runner.mesh
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            runner.params = jax.device_put(runner.params, rep)
+            runner.state = jax.device_put(runner.state, rep)
+            self.opt_state = jax.device_put(self.opt_state, rep)
+            self._data_sharding = NamedSharding(self.mesh, P("data"))
+        else:
+            self._data_sharding = None
 
     def _loader(self):
         base = self.runner._engine_audio_loader()
@@ -201,35 +216,53 @@ class TrainEngine:
         bucket = next(b for b in ms.buckets() if max_nw <= b)
         fe, buf_len = self._fe(sr, bucket)
 
+        n_real = len(idx)
+        # with a mesh, the batch axis must divide the device count: pad
+        # ragged batches by repeating row 0 with NaN targets (dropped by the
+        # nan-masked loss; duplicated rows do enter BN batch statistics,
+        # matching the cost of any fixed-shape DP scheme)
+        B = n_real
+        if self.mesh is not None:
+            n_dev = self.mesh.size
+            B = -(-n_real // n_dev) * n_dev
+
         def fill(source):
-            B = len(idx)
             buf = np.zeros((B, buf_len), dtype=np.float32)
             n = np.zeros((B,), dtype=np.int32)
-            for j, (y, _) in enumerate(source):
+            for j in range(B):
+                y, _ = source[j] if j < n_real else source[0]
                 padded = pad_audio_for_batch(y, ms.n_fft, len(y) + ms.n_fft)
                 w = min(len(padded), buf_len)  # pad tail past last read is unused
                 buf[j, :w] = padded[:w]
                 n[j] = len(y)
             return buf, n
 
+        def shard(a):
+            return jax.device_put(a, self._data_sharding) if self._data_sharding is not None else a
+
         buf_d, n_d = fill(audio)
-        segs, n_wins = fe(buf_d, n_d)
+        segs, n_wins = fe(shard(buf_d), shard(n_d))
         if de:
             buf_r, n_r = fill(audio_ref)
-            segs_r, n_wins_r = fe(buf_r, n_r)
+            segs_r, n_wins_r = fe(shard(buf_r), shard(n_r))
             segs = jnp.stack([segs, segs_r], axis=2)
             n_wins = jnp.stack([n_wins, n_wins_r], axis=1)
 
-        y = y_all[idx]  # (B, K)
-        bias_b = np.stack([bl.coeffs(idx) for bl in bias_losses], axis=1)  # (B, K, 4)
+        y = y_all[idx]  # (n_real, K)
+        bias_b = np.stack([bl.coeffs(idx) for bl in bias_losses], axis=1)  # (n_real, K, 4)
+        if B > n_real:
+            y = np.concatenate([y, np.full((B - n_real, y.shape[1]), np.nan, np.float32)])
+            pad_b = np.zeros((B - n_real,) + bias_b.shape[1:], np.float32)
+            pad_b[..., 1] = 1.0
+            bias_b = np.concatenate([bias_b, pad_b])
 
         params, self.opt_state, bn_state, loss, y_hat = step_fn(
             runner.params, self.opt_state, runner.state,
-            segs, n_wins, jnp.asarray(y), jnp.asarray(bias_b),
+            segs, n_wins, shard(jnp.asarray(y)), shard(jnp.asarray(bias_b)),
             jnp.float32(lr), rng,
         )
         runner.params, runner.state = params, bn_state
-        return float(loss), np.asarray(y_hat)
+        return float(loss), np.asarray(y_hat)[:n_real]
 
 
 # ---------------------------------------------------------------------------
