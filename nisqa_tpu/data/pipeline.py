@@ -488,11 +488,18 @@ class InferenceEngine:
                 y.block_until_ready()
             return None
 
+        # one device->host fetch for the whole pass: each readback is a
+        # costly RPC on relay-attached TPUs, so concatenate on device first
+        if len(pending) > 1:
+            all_y = np.asarray(jnp.concatenate([y for _, y in pending], axis=0))
+        else:
+            all_y = np.asarray(pending[0][1])
+        out = np.zeros((N, all_y.shape[1]), dtype=np.float32)
+        row = 0
         for chunk, y in pending:
-            y = np.asarray(y)
-            if out is None:
-                out = np.zeros((N, y.shape[1]), dtype=np.float32)
-            out[np.asarray(chunk)] = y[: len(chunk)]
+            bs_i = y.shape[0]
+            out[np.asarray(chunk)] = all_y[row : row + len(chunk)]
+            row += bs_i
         return out
 
     def _make_batch(self, chunk, audio, audio_ref, buf_len, bs, de, kind,
