@@ -517,15 +517,21 @@ class InferenceEngine:
             if native_items and src_paths is not None:
                 from . import native
 
-                # C++ decode + reflect-pad fill, threaded, GIL-free
-                sub = np.empty((len(native_items), buf_len), dtype=np.int16)
+                # C++ decode + reflect-pad fill, threaded, GIL-free. When the
+                # whole chunk is native (the common case) fill the batch
+                # buffer rows in place; otherwise use a scratch block.
+                all_native = len(native_items) == len(chunk)
+                target = buf[: len(chunk)] if all_native else np.empty(
+                    (len(native_items), buf_len), dtype=np.int16
+                )
                 ns, srs, status = native.fill_batch_i16(
-                    [src_paths[i] for _, i in native_items], sub, pad,
+                    [src_paths[i] for _, i in native_items], target, pad,
                     n_threads=self.num_workers,
                 )
                 for row, (j, i) in enumerate(native_items):
                     if status[row] == 0:
-                        buf[j] = sub[row]
+                        if not all_native:
+                            buf[j] = target[row]
                         n[j] = ns[row]
                     else:  # rare race (file changed since scan): python path
                         x, _ = wavio.read_wav(src_paths[i])

@@ -47,6 +47,13 @@ class NisqaTPU:
         import jax
 
         args = self.args
+        # tr_device='cpu' forces the CPU backend (reference semantics,
+        # `NISQA_model.py:1041-1045`); only effective before backend init
+        if args.get("tr_device") == "cpu":
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
         ckpt = None
         if args.get("pretrained_model"):
             path = args["pretrained_model"]
