@@ -224,8 +224,15 @@ class InferenceEngine:
             self.batch_size = -(-self.batch_size // n_dev) * n_dev
         self.num_workers = max(1, int(num_workers))
         # 'default' = fast TPU bf16-pass matmuls (MOS parity < 0.01 abs);
-        # 'highest' = f32-accumulated passes for tightest reference parity
-        self.precision = precision
+        # 'highest' = f32-accumulated passes for tightest reference parity.
+        # LSTM time-dependency models auto-upgrade to 'highest': recurrent
+        # dynamics amplify bf16-pass rounding beyond the 0.01 MOS budget on
+        # long clips (measured: TTS max drift 0.03 default vs 1e-4 highest).
+        if precision in (None, "default") and "lstm" in (
+            model.cfg.get("td") or "", model.cfg.get("td_2") or ""
+        ):
+            precision = "highest"
+        self.precision = precision or "default"
         # fused Pallas DFT->mel kernel (VMEM-resident re/im; ~8x less HBM
         # traffic in the front-end). Off by default; see ops/pallas_mel.py
         self.pallas_mel = pallas_mel

@@ -104,11 +104,15 @@ class NisqaTPU:
                 batch_size=int(self.args.get(bs_key) or 1),
                 mesh=self.mesh,
                 num_workers=int(self.args.get("tr_num_workers") or 8),
-                precision=self.args.get("precision", "default"),
+                precision=self._default_precision(),
             )
         else:
             self._engine_cache.update_params(self.params, self.state)
         return self._engine_cache
+
+    def _default_precision(self):
+        # None -> the engine picks (LSTM models upgrade to 'highest')
+        return self.args.get("precision") or None
 
     def _engine_audio_loader(self):
         """Host audio loader closure (wav decode + optional resample)."""

@@ -351,8 +351,13 @@ def lstm_layer(p, x, n_wins, reverse=False):
     """
     B, T, _ = x.shape
     h_dim = p["w_hh"].shape[0]
-    # precompute the input projection as one big MXU matmul
-    xproj = x @ p["w_ih"] + (p["b_ih"] + p["b_hh"])  # (B, T, 4H)
+    # precompute the input projection as one big MXU matmul; highest
+    # precision — recurrent accumulation over T steps amplifies bf16-pass
+    # rounding into >0.01 MOS drift on long TTS clips, and this matmul is
+    # a negligible fraction of total FLOPs
+    xproj = jnp.dot(x, p["w_ih"], precision=lax.Precision.HIGHEST) + (
+        p["b_ih"] + p["b_hh"]
+    )  # (B, T, 4H)
     xs = jnp.moveaxis(xproj, 1, 0)  # (T, B, 4H)
     t_idx = jnp.arange(T, dtype=jnp.int32)
     if reverse:
