@@ -22,8 +22,6 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
 from .filters import mel_filterbank, padded_window

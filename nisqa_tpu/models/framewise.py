@@ -14,7 +14,6 @@ load unchanged from released checkpoints.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from . import modules as M
 

@@ -15,8 +15,6 @@ docs/RELAY_NOTES.md).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
