@@ -71,9 +71,9 @@ def _run(warm_only=False):
         return None, None
 
     # several passes: the shared TPU pool behind the relay adds ~3x pass
-    # variance; report the best (steady-state) pass
+    # variance (docs/RELAY_NOTES.md); report the best (steady-state) pass
     runs, y = [], None
-    for _ in range(5):
+    for _ in range(7):
         tic = time.time()
         y = engine.predict_paths(paths)
         runs.append(time.time() - tic)

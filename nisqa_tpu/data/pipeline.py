@@ -423,6 +423,27 @@ class InferenceEngine:
         for y in pending:
             y.block_until_ready()
 
+        # also pre-compile the end-of-pass on-device concat for the batch
+        # arity this corpus will produce (a cold concat compile goes through
+        # the slow remote-compile channel)
+        n_batches = 0
+        by_shape = {}
+        for i, entry in enumerate(audio):
+            sr = entry[2]
+            nw = ms.n_wins(ms.n_frames(n_of(entry), sr))
+            kind = kind_of(entry)
+            if de:
+                ref = audio_ref[i]
+                nw = max(nw, ms.n_wins(ms.n_frames(n_of(ref), ref[2])))
+                kind = "f32" if "f32" in (kind, kind_of(ref)) else "i16"
+            by_shape.setdefault((sr, self._bucket_for(nw), kind), []).append(i)
+        for idxs in by_shape.values():
+            n_batches += -(-len(idxs) // self.batch_size)
+        if n_batches > 1:
+            k_out = 5 if self.model.dim else 1
+            dummies = [jnp.zeros((self.batch_size, k_out), jnp.float32)] * n_batches
+            jnp.concatenate(dummies, axis=0).block_until_ready()
+
     def predict_paths(self, paths, paths_ref=None, fetch=True):
         """Predict for a list of wav paths -> (N, out_dim) float32.
 
