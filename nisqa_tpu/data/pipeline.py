@@ -239,6 +239,9 @@ class InferenceEngine:
         self._pipelines = {}
         self._buf_lens = {}
         self._consts = {}
+        # host staging buffers, reused across batches/passes (predict_paths
+        # fully drains the device before returning, so reuse is race-free)
+        self._host_bufs = {}
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -483,6 +486,7 @@ class InferenceEngine:
         for i, sr, bucket, kind in metas:
             groups.setdefault((sr, bucket, kind), []).append(i)
 
+        self._batch_ordinal = 0
         # Phase 1: fill + upload ALL batches before the first execution.
         # On relay-attached TPUs, running a pipeline executable degrades
         # subsequent host->device bandwidth ~40x for the rest of the process
@@ -530,16 +534,30 @@ class InferenceEngine:
             row += bs_i
         return out
 
+    def _host_buf(self, key, shape, dtype, zero=False):
+        buf = self._host_bufs.get(key)
+        if buf is None or buf.shape != shape:
+            buf = self._host_bufs[key] = np.empty(shape, dtype)
+        if zero:
+            buf.fill(0)
+        return buf
+
     def _make_batch(self, chunk, audio, audio_ref, buf_len, bs, de, kind,
                     paths=None, paths_ref=None):
         pad = self.ms.n_fft // 2
+        # pooled host buffers are keyed by the batch's ordinal within the
+        # pass, so reuse only happens across passes — a batch's buffer must
+        # outlive its (async) device transfer
+        ordinal = self._batch_ordinal
+        self._batch_ordinal += 1
 
         def fill_i16(source, src_paths):
             # raw PCM16 transport: [left reflect 2048][samples][right reflect
             # 2048][bounded garbage]. np.empty (no zeroing): int16 garbage is
             # bounded, produces finite mels, and every garbage frame/segment
             # is masked downstream by n_frames/n_wins.
-            buf = np.empty((bs, buf_len), dtype="<i2")
+            buf = self._host_buf(("i16", ordinal, id(source) == id(audio_ref)),
+                                 (bs, buf_len), np.int16)
             n = np.empty((bs,), dtype=np.int32)
             native_items = [(j, i) for j, i in enumerate(chunk) if source[i][0] == "native"]
             if native_items and src_paths is not None:
@@ -583,7 +601,8 @@ class InferenceEngine:
             return buf, n
 
         def fill_f32(source, src_paths):
-            buf = np.zeros((bs, buf_len), dtype=np.float32)
+            buf = self._host_buf(("f32", ordinal, id(source) == id(audio_ref)),
+                                 (bs, buf_len), np.float32, zero=True)
             n = np.zeros((bs,), dtype=np.int32)
             for j, i in enumerate(chunk):
                 if source[i][0] == "native":  # mixed DE pair: decode as float
