@@ -487,14 +487,12 @@ class InferenceEngine:
             groups.setdefault((sr, bucket, kind), []).append(i)
 
         self._batch_ordinal = 0
-        # Phase 1: fill + upload ALL batches before the first execution.
-        # On relay-attached TPUs, running a pipeline executable degrades
-        # subsequent host->device bandwidth ~40x for the rest of the process
-        # (measured; see docs/RELAY_NOTES.md). Front-loading the uploads keeps
-        # them at full link speed; dispatches then run back-to-back on
-        # device-resident args. On direct-attached hardware this ordering is
-        # neutral.
-        staged = []
+        # Dispatch each batch as soon as it is filled: jit's async transfer
+        # and execution overlap the next batch's host fill. (Constant-free
+        # executables + deferred fetches keep the relay link healthy during
+        # this interleaving; docs/RELAY_NOTES.md.)
+        out = None
+        pending = []
         for (sr, bucket, kind), idxs in sorted(groups.items()):
             run = self._pipeline(sr, bucket, kind)
             buf_len = self._buf_lens[(sr, bucket, kind)]
@@ -505,15 +503,7 @@ class InferenceEngine:
                     chunk, audio, audio_ref, buf_len, bs, de, kind,
                     paths=paths, paths_ref=paths_ref,
                 )
-                dev_args = tuple(
-                    a if hasattr(a, "devices") else jax.device_put(a) for a in batch_args
-                )
-                staged.append((run, chunk, dev_args))
-
-        # Phase 2: dispatch everything.
-        out = None
-        pending = [(chunk, run(self.params, self.state, *dev_args))
-                   for run, chunk, dev_args in staged]
+                pending.append((chunk, run(self.params, self.state, *batch_args)))
 
         if not fetch:
             for _, y in pending:
