@@ -67,33 +67,47 @@ WavData parse_wav(const uint8_t* buf, int64_t len) {
 
 // Decode one file from disk and fill one batch-buffer row:
 // [left reflect pad | samples | right reflect pad (clamped)].
+// The PCM16 payload is read straight into the destination row (no
+// intermediate file buffer): header parse from a 64K prefix, then one
+// positioned read of the data chunk.
 int fill_row(const char* path, int16_t* row, int64_t buf_len, int64_t pad,
              int32_t* n_out, int32_t* sr_out) {
     FILE* f = fopen(path, "rb");
     if (!f) return -1;
-    fseek(f, 0, SEEK_END);
-    int64_t len = ftell(f);
-    fseek(f, 0, SEEK_SET);
-    std::vector<uint8_t> buf((size_t)len);
-    if (fread(buf.data(), 1, (size_t)len, f) != (size_t)len) {
+    uint8_t hdr[65536];
+    size_t got = fread(hdr, 1, sizeof(hdr), f);
+
+    WavData w = parse_wav(hdr, (int64_t)got);
+    int64_t n = w.ok ? w.n_declared : 0;
+    if (!w.ok || n < pad + 2 || pad + n > buf_len) {
         fclose(f);
         return -1;
     }
+    int64_t data_off = (const uint8_t*)w.samples - hdr;
+    int16_t* dst = row + pad;
+    int64_t have = (int64_t)got - data_off;
+    if (have > n * 2) have = n * 2;
+    if (have > 0) memcpy(dst, hdr + data_off, (size_t)have);
+    int64_t remain = n * 2 - (have > 0 ? have : 0);
+    if (remain > 0) {
+        if (fseek(f, (long)(data_off + (have > 0 ? have : 0)), SEEK_SET) != 0 ||
+            fread((uint8_t*)dst + (have > 0 ? have : 0), 1, (size_t)remain, f)
+                != (size_t)remain) {
+            fclose(f);
+            return -1;
+        }
+    }
     fclose(f);
 
-    WavData w = parse_wav(buf.data(), len);
-    if (!w.ok || w.n < pad + 2 || pad + w.n > buf_len) return -1;
-
     // left reflect: x[pad], x[pad-1], ..., x[1]
-    for (int64_t i = 0; i < pad; ++i) row[i] = w.samples[pad - i];
-    memcpy(row + pad, w.samples, (size_t)(w.n * 2));
-    // right reflect: x[n-2], x[n-3], ... (clamped to the buffer; the tail
-    // past the last STFT read position is never consumed)
-    int64_t take = buf_len - (pad + w.n);
+    const int16_t* x = dst;
+    for (int64_t i = 0; i < pad; ++i) row[i] = x[pad - i];
+    // right reflect (clamped: the tail past the last STFT read is unused)
+    int64_t take = buf_len - (pad + n);
     if (take > pad) take = pad;
-    for (int64_t i = 0; i < take; ++i) row[pad + w.n + i] = w.samples[w.n - 2 - i];
+    for (int64_t i = 0; i < take; ++i) row[pad + n + i] = x[n - 2 - i];
 
-    *n_out = (int32_t)w.n;
+    *n_out = (int32_t)n;
     *sr_out = w.sample_rate;
     return 0;
 }
