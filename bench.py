@@ -62,7 +62,9 @@ def _run(warm_only=False):
 
     model, params, state, args = load_model_from_tar("/root/reference/weights/nisqa.tar")
     engine = InferenceEngine(
-        model, params, state, MsConfig(args), batch_size=32, num_workers=8
+        model, params, state, MsConfig(args), batch_size=32, num_workers=8,
+        # fuse_pass=True collapses a pass to one execute RPC but loses the
+        # fill/exec interleave; A/B showed parity, interleaved wins best-case
     )
 
     # warmup compiles (persistent-cache-backed) + executes, no result fetch
