@@ -93,3 +93,23 @@ def test_ms_sr_resampling(tmp_path):
     engine = runner._engine()
     entries = engine._scan_transport(runner.ds_val.paths())
     assert all(e[2] == 8000 for e in entries)
+
+
+def test_fuse_pass_matches_unfused(tmp_path):
+    """fuse_pass=True (one executable per pass) must be output-identical."""
+    from nisqa_tpu.compat.torch_ckpt import load_model_from_tar
+    from nisqa_tpu.data.pipeline import InferenceEngine, MsConfig
+
+    names = _write_corpus(tmp_path, n=8)
+    from tests.test_e2e import _make_ckpt
+
+    ckpt = _make_ckpt(tmp_path)
+    model, params, state, args = load_model_from_tar(ckpt)
+    paths = [str(tmp_path / n) for n in names]
+    e1 = InferenceEngine(model, params, state, MsConfig(args), batch_size=3, num_workers=2)
+    e2 = InferenceEngine(model, params, state, MsConfig(args), batch_size=3,
+                         num_workers=2, fuse_pass=True)
+    e2.warmup(paths)
+    y1 = e1.predict_paths(paths)
+    y2 = e2.predict_paths(paths)
+    assert np.abs(y1 - y2).max() < 1e-6
