@@ -91,15 +91,29 @@ class TrainEngine:
 
         return load
 
+    def _entries(self, paths):
+        """Transport descriptors for all paths (native header scans for PCM16
+        mono, decoded fallbacks otherwise). Cached across epochs only when
+        tr_ds_to_memory is on (matching the reference's RAM-cache semantics)."""
+        key = ("entries", tuple(paths))
+        if self._audio_cache is not None:
+            hit = self._audio_cache.get(key)
+            if hit is not None:
+                return hit
+        entries = self.runner._engine()._scan_transport(list(paths))
+        if self._audio_cache is not None:
+            self._audio_cache[key] = entries
+        return entries
+
     # -- feature extraction (jitted per (sr, bucket, B)) ---------------------
 
-    def _fe(self, sr, bucket):
-        key = (sr, bucket)
+    def _fe(self, sr, bucket, kind="f32"):
+        key = (sr, bucket, kind)
         if key not in self._fe_cache:
             from ..data.pipeline import front_end_consts
 
-            fn, buf_len = _front_end(self.ms, sr, bucket)
-            consts = jax.device_put(front_end_consts(self.ms, sr))
+            fn, buf_len = _front_end(self.ms, sr, bucket, transport=kind)
+            consts = jax.device_put(front_end_consts(self.ms, sr, kind))
             jitted = jax.jit(fn)
             call = lambda audio, n, _f=jitted, _c=consts: _f(_c, audio, n)
             self._fe_cache[key] = (call, buf_len)
@@ -143,8 +157,6 @@ class TrainEngine:
 
     def run_epoch(self, ds, bias_losses, lr, rng_epoch, batch_size, shuffle=True, verbose=0):
         """Returns (mean_loss, y_train_hat (N, K))."""
-        from concurrent.futures import ThreadPoolExecutor
-
         runner = self.runner
         ms = self.ms
         paths = ds.paths()
@@ -159,8 +171,8 @@ class TrainEngine:
         if shuffle:
             np.random.default_rng(int(rng_epoch[0]) & 0x7FFFFFFF).shuffle(order)
 
-        workers = max(1, int(runner.args.get("tr_num_workers") or 8))
-        pool = ThreadPoolExecutor(workers)
+        entries = self._entries(paths)
+        entries_ref = self._entries(paths_ref) if de else None
         engine_load = self._loader()
 
         y_hat_all = np.zeros((N, K), dtype=np.float32)
@@ -169,52 +181,48 @@ class TrainEngine:
 
         for start in range(0, N, batch_size):
             idx = order[start : start + batch_size]
-            audio = list(pool.map(engine_load, (paths[i] for i in idx)))
-            audio_ref = list(pool.map(engine_load, (paths_ref[i] for i in idx))) if de else None
-
-            srs = {a[1] for a in audio}
-            if len(srs) > 1:
-                # split mixed-sr batches (rare); recurse per sr
-                by_sr = {}
-                for j, (yv, sr) in enumerate(audio):
-                    by_sr.setdefault(sr, []).append(j)
-                groups = [[int(idx[j]) for j in js] for js in by_sr.values()]
-            else:
-                groups = [list(map(int, idx))]
-
-            for g in groups:
+            # split mixed-sample-rate batches (rare); per sr group decide the
+            # transport: raw int16 when every file is plain PCM16 mono (the
+            # native C++ loader fills it), float otherwise. DE always floats.
+            by_sr = {}
+            for i in idx:
+                by_sr.setdefault(entries[i][2], []).append(int(i))
+            for sr, g in by_sr.items():
+                if de:
+                    kind = "f32"
+                else:
+                    kind = "i16" if all(entries[i][0] == "native" for i in g) else "f32"
                 loss, y_hat = self._run_group(
-                    g, paths, paths_ref, audio if len(groups) == 1 else None,
-                    engine_load, pool, y_all, bias_losses, lr,
-                    jax.random.fold_in(rng_epoch, step_i), step_fn, K, de,
+                    g, paths, paths_ref, entries, entries_ref, engine_load,
+                    y_all, bias_losses, lr,
+                    jax.random.fold_in(rng_epoch, step_i), step_fn, K, de, kind,
                 )
                 y_hat_all[g] = y_hat
                 total_loss += loss
                 n_batches += 1
                 step_i += 1
 
-        pool.shutdown()
         return total_loss / max(n_batches, 1), y_hat_all
 
-    def _run_group(self, idx, paths, paths_ref, audio, load, pool, y_all,
-                   bias_losses, lr, rng, step_fn, K, de):
+    def _run_group(self, idx, paths, paths_ref, entries, entries_ref, load,
+                   y_all, bias_losses, lr, rng, step_fn, K, de, kind):
         from ..audio.melspec import pad_audio_for_batch
 
         ms = self.ms
         runner = self.runner
-        if audio is None:
-            audio = list(pool.map(load, (paths[i] for i in idx)))
-        audio_ref = list(pool.map(load, (paths_ref[i] for i in idx))) if de else None
-        sr = audio[0][1]
+        sr = entries[idx[0]][2]
 
-        def n_wins_of(y):
-            return ms.n_wins(ms.n_frames(len(y), sr))
+        def n_of(e):
+            return e[1] if e[0] == "native" else len(e[1])
 
-        max_nw = max(n_wins_of(a[0]) for a in audio)
+        def n_wins_of(n_samples):
+            return ms.n_wins(ms.n_frames(n_samples, sr))
+
+        max_nw = max(n_wins_of(n_of(entries[i])) for i in idx)
         if de:
-            max_nw = max(max_nw, max(n_wins_of(a[0]) for a in audio_ref))
+            max_nw = max(max_nw, max(n_wins_of(n_of(entries_ref[i])) for i in idx))
         bucket = next(b for b in ms.buckets() if max_nw <= b)
-        fe, buf_len = self._fe(sr, bucket)
+        fe, buf_len = self._fe(sr, bucket, kind)
 
         n_real = len(idx)
         # with a mesh, the batch axis must divide the device count: pad
@@ -226,24 +234,54 @@ class TrainEngine:
             n_dev = self.mesh.size
             B = -(-n_real // n_dev) * n_dev
 
-        def fill(source):
+        def audio_f32(i, ents, pths):
+            e = ents[i]
+            if e[0] == "native":
+                return load(pths[i])[0]
+            if e[0] == "i16":
+                return e[1].astype(np.float32) / 32768.0
+            return e[1]
+
+        def fill_f32(ents, pths):
             buf = np.zeros((B, buf_len), dtype=np.float32)
             n = np.zeros((B,), dtype=np.int32)
             for j in range(B):
-                y, _ = source[j] if j < n_real else source[0]
+                y = audio_f32(idx[j] if j < n_real else idx[0], ents, pths)
                 padded = pad_audio_for_batch(y, ms.n_fft, len(y) + ms.n_fft)
                 w = min(len(padded), buf_len)  # pad tail past last read is unused
                 buf[j, :w] = padded[:w]
                 n[j] = len(y)
             return buf, n
 
+        def fill_i16(pths):
+            from ..data import native
+
+            buf = np.empty((B, buf_len), dtype=np.int16)
+            n = np.empty((B,), dtype=np.int32)
+            ns, srs, status = native.fill_batch_i16(
+                [pths[i] for i in idx], buf[:n_real], ms.n_fft // 2,
+                n_threads=max(1, int(runner.args.get("tr_num_workers") or 4)),
+            )
+            if (status != 0).any():
+                return None  # rare race: fall back to the float path
+            n[:n_real] = ns
+            for j in range(n_real, B):
+                buf[j] = buf[0]
+                n[j] = n[0]
+            return buf, n
+
         def shard(a):
             return jax.device_put(a, self._data_sharding) if self._data_sharding is not None else a
 
-        buf_d, n_d = fill(audio)
+        filled = fill_i16(paths) if kind == "i16" else None
+        if filled is None:
+            kind = "f32"
+            fe, buf_len = self._fe(sr, bucket, "f32")
+            filled = fill_f32(entries, paths)
+        buf_d, n_d = filled
         segs, n_wins = fe(shard(buf_d), shard(n_d))
         if de:
-            buf_r, n_r = fill(audio_ref)
+            buf_r, n_r = fill_f32(entries_ref, paths_ref)
             segs_r, n_wins_r = fe(shard(buf_r), shard(n_r))
             segs = jnp.stack([segs, segs_r], axis=2)
             n_wins = jnp.stack([n_wins, n_wins_r], axis=1)
