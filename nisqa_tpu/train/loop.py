@@ -127,9 +127,18 @@ class TrainEngine:
         model = self.model
         opt = self.opt
         loss_weight = self.loss_weight
+        # training matmuls default to highest precision: the reference trains
+        # in full f32 and gradient rounding compounds over epochs; train-step
+        # compute is a negligible share of epoch wall time here. Override
+        # with args['tr_precision'].
+        precision = self.runner.args.get("tr_precision") or "highest"
 
-        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=())
         def step(params, opt_state, bn_state, segs, n_wins, y, bias_b, lr, rng):
+            with jax.default_matmul_precision(precision):
+                return _step_body(params, opt_state, bn_state, segs, n_wins, y, bias_b, lr, rng)
+
+        def _step_body(params, opt_state, bn_state, segs, n_wins, y, bias_b, lr, rng):
             def loss_fn(p):
                 y_hat, new_bn = model.apply(p, bn_state, segs, n_wins, train=True, rng=rng)
                 mapped = (
