@@ -34,3 +34,32 @@ def _setup_compilation_cache():
 
 
 _setup_compilation_cache()
+
+
+def load_predictor(checkpoint_path: str, batch_size: int = 32, **engine_kwargs):
+    """One-call inference API: load a (reference-format) checkpoint and get a
+    callable mapping wav paths -> predictions.
+
+    >>> predict = nisqa_tpu.load_predictor("weights/nisqa.tar")
+    >>> scores = predict(["a.wav", "b.wav"])   # (2, 5): mos/noi/dis/col/loud
+    >>> pairs  = predict(["deg.wav"], ["ref.wav"])  # double-ended models
+
+    The returned callable owns a compiled-engine cache, so repeated calls
+    (serving) reuse executables and device-resident weights. Extra kwargs
+    reach :class:`nisqa_tpu.data.pipeline.InferenceEngine` (e.g.
+    ``precision="highest"``, ``pallas_mel=True``, ``mesh=...``).
+    """
+    from .compat.torch_ckpt import load_model_from_tar
+    from .data.pipeline import InferenceEngine, MsConfig
+
+    model, params, state, args = load_model_from_tar(checkpoint_path)
+    engine = InferenceEngine(
+        model, params, state, MsConfig(args), batch_size=batch_size, **engine_kwargs
+    )
+
+    def predict(paths, paths_ref=None):
+        return engine.predict_paths(list(paths), list(paths_ref) if paths_ref else None)
+
+    predict.engine = engine
+    predict.model_name = model.name
+    return predict

@@ -278,3 +278,18 @@ def test_train_dim_smoke(corpus, tmp_path):
     runner.train()
     run_dirs = [d for d in os.listdir(tmp_path) if d.startswith("tiny_")]
     assert run_dirs
+
+
+def test_load_predictor_api(corpus):
+    """The one-call public API: nisqa_tpu.load_predictor."""
+    import nisqa_tpu
+
+    tmp, names, ckpt = corpus
+    predict = nisqa_tpu.load_predictor(ckpt, batch_size=3, num_workers=0)
+    paths = [str(tmp / n) for n in names[:4]]
+    y1 = predict(paths)
+    assert y1.shape == (4, 1) and np.isfinite(y1).all()
+    # serving reuse: second call hits compiled pipelines, same results
+    y2 = predict(paths)
+    assert np.allclose(y1, y2, atol=1e-6)
+    assert predict.model_name == "NISQA"
