@@ -188,6 +188,13 @@ class TrainEngine:
         total_loss, n_batches = 0.0, 0
         step_i = 0
 
+        pbar = None
+        if verbose == 2:
+            from tqdm import tqdm
+
+            pbar = tqdm(total=-(-N // batch_size), ascii=">=",
+                        bar_format="{bar} {percentage:3.0f}%, {n_fmt}/{total_fmt}, {elapsed}<{remaining}{postfix}")
+
         for start in range(0, N, batch_size):
             idx = order[start : start + batch_size]
             # split mixed-sample-rate batches (rare); per sr group decide the
@@ -210,7 +217,12 @@ class TrainEngine:
                 total_loss += loss
                 n_batches += 1
                 step_i += 1
+            if pbar is not None:
+                pbar.set_postfix(loss=loss)
+                pbar.update()
 
+        if pbar is not None:
+            pbar.close()
         return total_loss / max(n_batches, 1), y_hat_all
 
     def _run_group(self, idx, paths, paths_ref, entries, entries_ref, load,
