@@ -237,9 +237,11 @@ class InferenceEngine:
         # traffic in the front-end). Off by default; see ops/pallas_mel.py
         self.pallas_mel = pallas_mel
         # fuse_pass: compile an entire predict pass (every bucket batch) into
-        # ONE executable -> one execute RPC instead of one per batch. Pays a
-        # compile per distinct corpus batching plan, so it is opt-in for
-        # repeated workloads (benchmarks, serving a fixed corpus shape).
+        # ONE executable fed by ONE flat upload -> 3 RPCs per pass. Output-
+        # identical to the unfused path. On THIS relay rig the unfused
+        # interleaved path measures faster (small overlapped transfers beat
+        # one large in-dispatch transfer); kept as an option for
+        # direct-attached hardware and fixed-corpus serving.
         self.fuse_pass = fuse_pass
         self._pipelines = {}
         self._buf_lens = {}
@@ -452,7 +454,8 @@ class InferenceEngine:
             dummies = [jnp.zeros((self.batch_size, k_out), jnp.float32)] * n_batches
             jnp.concatenate(dummies, axis=0).block_until_ready()
 
-        if self.fuse_pass and not de and n_batches > 1:
+        plan_kinds = {k for (_, _, k) in by_shape}
+        if self.fuse_pass and not de and n_batches > 1 and len(plan_kinds) == 1:
             # pre-compile + pre-load the single-executable pass for this
             # corpus's batching plan
             plan_keys = []
@@ -517,7 +520,8 @@ class InferenceEngine:
             for start in range(0, len(idxs), bs):
                 plan.append((gkey, idxs[start : start + bs]))
 
-        if self.fuse_pass and not de and len(plan) > 1:
+        plan_kinds = {k for (_, _, k), _ in plan}
+        if self.fuse_pass and not de and len(plan) > 1 and len(plan_kinds) == 1:
             fused = self._fused_pipeline(tuple(gkey for gkey, _ in plan))
             args = []
             for (sr, bucket, kind), chunk in plan:
@@ -590,11 +594,23 @@ class InferenceEngine:
             # as HLO literals, which poisons the relay link on load
             consts_list.append(self._consts[(sr, kind)])
 
-        def run(params, state, consts_tuple, *flat):
+        # All batch buffers travel as ONE flat array (plus one flat n array),
+        # statically sliced apart on device: the whole pass costs one
+        # argument upload + one execute + one fetch RPC (the relay's per-RPC
+        # latency, not bytes or FLOPs, is the pass floor; RELAY_NOTES.md).
+        # Only uniform-dtype plans fuse this way; i16/f32 mixes use the
+        # unfused path (predict_paths falls back).
+        bs = self.batch_size
+        buf_lens = [self._buf_lens[k] for k in plan_keys]
+        offsets = np.cumsum([0] + [bs * L for L in buf_lens])
+
+        def run(params, state, consts_tuple, flat, ns):
             outs = []
             with jax.default_matmul_precision(precision):
                 for j, fe in enumerate(fes):
-                    buf, n = flat[2 * j], flat[2 * j + 1]
+                    buf = lax.slice(flat, (int(offsets[j]),), (int(offsets[j + 1]),))
+                    buf = buf.reshape(bs, buf_lens[j])
+                    n = lax.slice(ns, (j * bs,), ((j + 1) * bs,))
                     segs, n_wins = fe(consts_tuple[j], buf, n)
                     y, _ = model.apply(params, state, segs, n_wins)
                     outs.append(y)
@@ -603,9 +619,16 @@ class InferenceEngine:
         jitted = jax.jit(run)
         consts_tuple = tuple(consts_list)
 
-        def call(params, state, *flat, _f=jitted, _c=consts_tuple):
-            return _f(params, state, _c, *flat)
+        def call(params, state, *flat_args, _f=jitted, _c=consts_tuple):
+            # flat_args: interleaved (buf, n) per part, packed here
+            bufs = [flat_args[2 * j] for j in range(len(fes))]
+            ns = [flat_args[2 * j + 1] for j in range(len(fes))]
+            flat = self._host_buf(("fused_flat", cache_key), (int(offsets[-1]),), bufs[0].dtype)
+            for j, b in enumerate(bufs):
+                flat[offsets[j] : offsets[j + 1]] = b.reshape(-1)
+            return _f(params, state, _c, flat, np.concatenate(ns))
 
+        call.uniform_dtype = True
         self._pipelines[cache_key] = call
         return call
 
