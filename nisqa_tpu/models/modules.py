@@ -94,7 +94,7 @@ def conv2d(p, x, pad_h, pad_w):
         window_strides=(1, 1),
         padding=[(pad_h, pad_h), (pad_w, pad_w)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
     )
     return y + p["b"]
 

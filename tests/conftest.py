@@ -10,6 +10,12 @@ without TPU hardware (SURVEY.md §4 device-count tests).
 import os
 import sys
 
+# The persistent XLA cache is for the TPU processes (bench/CLI); under the
+# CPU test backend it can serve CPU executables AOT-compiled by a different
+# machine (observed: machine-feature mismatch warnings + ~3e-3 numeric
+# drift in conv backward). Tests always compile fresh.
+os.environ["NISQA_TPU_NO_CACHE"] = "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
