@@ -41,6 +41,34 @@ class WavFormatError(ValueError):
     pass
 
 
+def sniff_format(head: bytes) -> str:
+    """Identify an audio container from its first bytes."""
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        return "wav"
+    if head[:4] == b"fLaC":
+        return "flac"
+    if head[:4] == b"OggS":
+        return "ogg"
+    if head[:3] == b"ID3" or (len(head) > 1 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0):
+        return "mp3"
+    if head[4:8] == b"ftyp":
+        return "m4a/mp4"
+    if head[:4] == b"FORM" and head[8:12] in (b"AIFF", b"AIFC"):
+        return "aiff"
+    return "unknown"
+
+
+def _unsupported(path: str, fmt: str) -> WavFormatError:
+    """Actionable error for undecodable inputs, naming file and format —
+    the analog of the reference's load-error wrapping
+    (`/root/reference/nisqa/NISQA_lib.py:2298-2306`)."""
+    what = f"detected format '{fmt}'" if fmt != "unknown" else "unrecognised format"
+    return WavFormatError(
+        f"Error loading file {path}: {what}. Only WAV (PCM/IEEE-float) and "
+        "FLAC are decodable; convert mp3/ogg/m4a inputs to wav or flac first."
+    )
+
+
 def _parse_chunks(buf: bytes):
     """Yield (chunk_id, offset, size) for every top-level RIFF chunk."""
     if len(buf) < 12 or buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
@@ -106,6 +134,14 @@ def read_wav(path: str, channel: int | None = None, mono: bool = True):
     with open(path, "rb") as f:
         buf = f.read()
 
+    kind = sniff_format(buf[:16])
+    if kind == "flac":
+        from .flac import read_flac
+
+        return read_flac(path, channel=channel, mono=mono)
+    if kind != "wav":
+        raise _unsupported(path, kind)
+
     fmt_tag = None
     bits = None
     n_channels = None
@@ -143,6 +179,13 @@ def read_wav_pcm16_mono(path: str):
     """
     with open(path, "rb") as f:
         buf = f.read()
+    kind = sniff_format(buf[:16])
+    if kind == "flac":
+        from .flac import read_flac_pcm16_mono
+
+        return read_flac_pcm16_mono(path)
+    if kind != "wav":
+        raise _unsupported(path, kind)
     fmt_tag = bits = n_channels = None
     data = None
     for cid, off, size in _parse_chunks(buf):

@@ -74,13 +74,25 @@ DEFAULTS = {
     "td_lstm_dropout": 0,
     "td_lstm_bidirectional": True,
     "td_2": "skip",
+    "td_2_sa_d_model": 64,
+    "td_2_sa_nhead": 1,
+    "td_2_sa_pos_enc": None,
+    "td_2_sa_num_layers": 2,
+    "td_2_sa_h": 64,
+    "td_2_sa_dropout": 0.1,
+    "td_2_lstm_h": 128,
+    "td_2_lstm_num_layers": 1,
+    "td_2_lstm_dropout": 0,
+    "td_2_lstm_bidirectional": True,
     "pool": "att",
     "pool_att_h": 128,
     "pool_att_dropout": 0.1,
-    "de_align": "dot",
+    # DE defaults follow the shipped reference config
+    # (`/root/reference/config/train_nisqa_double_ended.yaml:102-105`)
+    "de_align": "cosine",
     "de_align_apply": "hard",
     "de_fuse_dim": None,
-    "de_fuse": True,
+    "de_fuse": "x/y/-",
 }
 
 

@@ -275,6 +275,15 @@ def params_to_torch(model, params, state) -> dict:
         if kind == "self_att":
             put_lin(f"{prefix_torch}.model.linear", tp["linear"])
             put_norm(f"{prefix_torch}.model.norm1", tp["norm1"])
+            if cfg.get(f"{prefix_cfg}_sa_pos_enc"):
+                # the reference registers the sinusoidal table as a buffer
+                # with seq-first layout (max_len, 1, d_model)
+                # (`NISQA_lib.py:1042-1062`); strict load expects the key
+                from ..models.td import positional_encoding_table
+
+                d_model = np.asarray(tp["norm1"]["scale"]).shape[0]
+                pe = positional_encoding_table(d_model)
+                sd[f"{prefix_torch}.model.pos_encoder.pe"] = pe[:, None, :].copy()
             for i, layer in enumerate(tp["layers"]):
                 lp = f"{prefix_torch}.model.layers.{i}"
                 sd[f"{lp}.self_attn.in_proj_weight"] = np.asarray(layer["attn"]["w_in"]).T.copy()

@@ -217,16 +217,27 @@ def framewise_init(rng, cfg):
     return FRAMEWISE[model][0](rng, cfg)
 
 
-def framewise_apply(params, state, cfg, segs, n_wins, train=False, rng=None):
+def framewise_apply(params, state, cfg, segs, n_wins, train=False, rng=None,
+                    row_valid=None):
     """segs: (B, T, H, S) -> features (B, T, fan_out).
 
     Runs the framewise model densely over all B*T segments (one big MXU
     batch); BN statistics in train mode are weighted by the validity mask.
+    ``row_valid``: optional (B,) bool excluding whole rows from BN batch
+    statistics — used for mesh-padding rows of ragged data-parallel batches,
+    whose data duplicates row 0 but must not enter the statistics (the
+    reference's packed sequences exclude padding entirely,
+    `NISQA_lib.py:489-494`).
     """
     model = cfg.get("cnn_model") or "skip"
     apply_fn = FRAMEWISE[model][1]
     B, T, H, S = segs.shape
     x = segs.reshape(B * T, H, S, 1)
-    valid = M.length_mask(n_wins, T).reshape(B * T) if train else None
+    valid = None
+    if train:
+        valid = M.length_mask(n_wins, T)
+        if row_valid is not None:
+            valid = valid & row_valid[:, None]
+        valid = valid.reshape(B * T)
     y, new_state = apply_fn(params, state, cfg, x, valid, train, rng)
     return y.reshape(B, T, -1), new_state

@@ -103,16 +103,18 @@ class NisqaNet:
 
     # -- forward ------------------------------------------------------------
 
-    def _trunk(self, params, state, segs, n_wins, train, rng):
+    def _trunk(self, params, state, segs, n_wins, train, rng, row_valid=None):
         cfg = self.cfg
         r1 = r2 = None
         if rng is not None:
             rng, r1, r2 = jax.random.split(rng, 3)
-        feats, cnn_state = F.framewise_apply(params["cnn"], state["cnn"], cfg, segs, n_wins, train, r1)
+        feats, cnn_state = F.framewise_apply(
+            params["cnn"], state["cnn"], cfg, segs, n_wins, train, r1, row_valid=row_valid
+        )
         feats = TD.td_apply({"kind": self.td_kind}, params["td"], cfg, feats, n_wins, "td", train, r2)
         return feats, cnn_state
 
-    def apply(self, params, state, x, n_wins, train=False, rng=None):
+    def apply(self, params, state, x, n_wins, train=False, rng=None, row_valid=None):
         cfg = self.cfg
         att_drop = float(cfg.get("pool_att_dropout") or 0.0)
         rngs = list(jax.random.split(rng, 8)) if rng is not None else [None] * 8
@@ -120,11 +122,22 @@ class NisqaNet:
         if self.double_ended:
             deg, ref = x[:, :, 0], x[:, :, 1]  # (B, T, H, S) each
             n_deg, n_ref = n_wins[:, 0], n_wins[:, 1]
-            fd, st_d = self._trunk(params, state, deg, n_deg, train, rngs[0])
-            fr, st_r = self._trunk(params, state, ref, n_ref, train, rngs[1])
+            fd, st_d = self._trunk(params, state, deg, n_deg, train, rngs[0], row_valid)
+            fr, st_r = self._trunk(params, state, ref, n_ref, train, rngs[1], row_valid)
             # shared trunk: in train mode both passes update the same BN
-            # stats; average the two updates (torch applies them serially)
-            new_cnn = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, st_d, st_r) if train else st_d
+            # running stats, serially like torch (deg first, then ref on top:
+            # s1 = (1-m)s0 + m*stat_deg; s2 = (1-m)s1 + m*stat_ref). Both
+            # passes here were computed from s0, so compose:
+            # s2 = st_ref + (1-m)*(st_deg - s0), with m = 0.1 (BN default).
+            m = 0.1
+            new_cnn = (
+                jax.tree_util.tree_map(
+                    lambda r, d, s0: r + (1.0 - m) * (d - s0),
+                    st_r, st_d, state["cnn"],
+                )
+                if train
+                else st_d
+            )
             aligned = A.alignment_apply(
                 {"method": self.align_method, "params": params["align"]},
                 fd, fr, n_ref, cfg.get("de_align_apply", "hard"),
@@ -134,7 +147,7 @@ class NisqaNet:
             y = P.pooling_apply({"kind": self.pool_kind}, params["pool"], h, n_deg, att_drop, train, rngs[3])
             return y, {"cnn": new_cnn}
 
-        feats, cnn_state = self._trunk(params, state, x, n_wins, train, rngs[0])
+        feats, cnn_state = self._trunk(params, state, x, n_wins, train, rngs[0], row_valid)
         h = TD.td_apply({"kind": self.td2_kind}, params["td2"], cfg, feats, n_wins, "td_2", train, rngs[1])
 
         if self.dim:

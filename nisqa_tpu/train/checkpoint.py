@@ -26,7 +26,7 @@ def _to_state_dict(tree):
 
 
 def save_train_state(path_base: str, model, params, bn_state, opt_state, args: dict,
-                     epoch: int, bias_b=None, results=None):
+                     epoch: int, bias_b=None, results=None, loop_state=None):
     from flax import serialization
 
     from ..compat.torch_ckpt import save_torch_checkpoint
@@ -45,8 +45,13 @@ def save_train_state(path_base: str, model, params, bn_state, opt_state, args: d
     }
     with open(path_base + ".msgpack", "wb") as f:
         f.write(serialization.to_bytes(native))
+    meta = {"epoch": epoch + 1, "model": model.name}
+    if loop_state:
+        # LR-plateau scheduler + early-stopper state: without these a resume
+        # silently jumps the LR back to tr_lr and resets stop tracking
+        meta["loop_state"] = loop_state
     with open(path_base + ".meta.json", "w") as f:
-        json.dump({"epoch": epoch + 1, "model": model.name}, f, default=str)
+        json.dump(meta, f, default=str)
 
 
 def load_train_state(path_base: str, template: dict) -> dict:

@@ -28,6 +28,14 @@ class EarlyStopper:
         self.cnt += 1
         return self.cnt >= self.patience
 
+    def state_dict(self) -> dict:
+        return {"best_rmse": self.best_rmse, "best_r_p": self.best_r_p, "cnt": self.cnt}
+
+    def load_state_dict(self, d: dict):
+        self.best_rmse = float(d["best_rmse"])
+        self.best_r_p = float(d["best_r_p"])
+        self.cnt = int(d["cnt"])
+
 
 class EarlyStopperDim:
     """Tracks r_p + mapped RMSE for all five targets (10 stats)."""
@@ -54,6 +62,14 @@ class EarlyStopperDim:
                     self.best = True
         self.cnt += 1
         return self.cnt >= self.patience
+
+    def state_dict(self) -> dict:
+        return {"best_rmse": dict(self.best_rmse), "best_r_p": dict(self.best_r_p), "cnt": self.cnt}
+
+    def load_state_dict(self, d: dict):
+        self.best_rmse = {s: float(d["best_rmse"][s]) for s in self._SUFFIXES}
+        self.best_r_p = {s: float(d["best_r_p"][s]) for s in self._SUFFIXES}
+        self.cnt = int(d["cnt"])
 
     # convenience accessors matching the reference's printout fields
     @property

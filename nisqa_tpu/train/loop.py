@@ -134,13 +134,18 @@ class TrainEngine:
         precision = self.runner.args.get("tr_precision") or "highest"
 
         @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=())
-        def step(params, opt_state, bn_state, segs, n_wins, y, bias_b, lr, rng):
+        def step(params, opt_state, bn_state, segs, n_wins, y, bias_b, row_valid, lr, rng):
             with jax.default_matmul_precision(precision):
-                return _step_body(params, opt_state, bn_state, segs, n_wins, y, bias_b, lr, rng)
+                return _step_body(params, opt_state, bn_state, segs, n_wins, y, bias_b,
+                                  row_valid, lr, rng)
 
-        def _step_body(params, opt_state, bn_state, segs, n_wins, y, bias_b, lr, rng):
+        def _step_body(params, opt_state, bn_state, segs, n_wins, y, bias_b, row_valid, lr, rng):
             def loss_fn(p):
-                y_hat, new_bn = model.apply(p, bn_state, segs, n_wins, train=True, rng=rng)
+                # row_valid zeroes mesh-padding rows out of the BN batch
+                # statistics (their data duplicates row 0; their loss terms
+                # are already NaN-masked)
+                y_hat, new_bn = model.apply(p, bn_state, segs, n_wins, train=True,
+                                            rng=rng, row_valid=row_valid)
                 mapped = (
                     bias_b[..., 0]
                     + bias_b[..., 1] * y_hat
@@ -247,9 +252,10 @@ class TrainEngine:
 
         n_real = len(idx)
         # with a mesh, the batch axis must divide the device count: pad
-        # ragged batches by repeating row 0 with NaN targets (dropped by the
-        # nan-masked loss; duplicated rows do enter BN batch statistics,
-        # matching the cost of any fixed-shape DP scheme)
+        # ragged batches by repeating row 0 with NaN targets. Padding rows
+        # are excluded from the loss (NaN mask) AND from BN batch statistics
+        # (row_valid), so the step is numerically identical to the unpadded
+        # batch (tests/test_train_bn_parity.py::test_padded_batch_matches_unpadded)
         B = n_real
         if self.mesh is not None:
             n_dev = self.mesh.size
@@ -315,10 +321,11 @@ class TrainEngine:
             pad_b[..., 1] = 1.0
             bias_b = np.concatenate([bias_b, pad_b])
 
+        row_valid = np.arange(B) < n_real
         params, self.opt_state, bn_state, loss, y_hat = step_fn(
             runner.params, self.opt_state, runner.state,
             segs, n_wins, shard(jnp.asarray(y)), shard(jnp.asarray(bias_b)),
-            jnp.float32(lr), rng,
+            shard(jnp.asarray(row_valid)), jnp.float32(lr), rng,
         )
         runner.params, runner.state = params, bn_state
         return float(loss), np.asarray(y_hat)[:n_real]
@@ -336,7 +343,8 @@ class ResultsWriter:
         self.runname = runname
         self.hist = None
 
-    def save(self, epoch, loss, ep_runtime, r, bias_b, opt_state, best):
+    def save(self, epoch, loss, ep_runtime, r, bias_b, opt_state, best,
+             sched=None, stopper=None):
         runner = self.runner
         args = runner.args
         ckpt_mode = args.get("tr_checkpoint", "every_epoch")
@@ -363,9 +371,15 @@ class ResultsWriter:
         self.hist.to_csv(os.path.join(run_dir, self.runname + "__results.csv"), index=False)
 
         if ckpt_mode == "every_epoch" or (ckpt_mode == "best_only" and best):
+            loop_state = {}
+            if sched is not None:
+                loop_state["sched"] = sched.state_dict()
+            if stopper is not None:
+                loop_state["stopper"] = stopper.state_dict()
             save_train_state(
                 os.path.join(run_dir, base), runner.model, runner.params, runner.state,
                 opt_state, args, epoch, bias_b=bias_b, results=results,
+                loop_state=loop_state or None,
             )
         elif ckpt_mode not in ("every_epoch", "best_only"):
             raise ValueError("selected tr_checkpoint option not available")
@@ -376,10 +390,11 @@ class ResultsWriter:
 # ---------------------------------------------------------------------------
 
 
-def _maybe_resume(runner, engine, bias_losses):
+def _maybe_resume(runner, engine, bias_losses, sched=None, stopper=None):
     """Full train-state resume from a native checkpoint (``tr_resume`` arg) —
-    params, BN stats, optimizer moments, bias-loss coefficients, epoch. The
-    reference can only warm-start weights (SURVEY.md §5)."""
+    params, BN stats, optimizer moments, bias-loss coefficients, epoch, plus
+    the LR-plateau scheduler and early-stopper trackers. The reference can
+    only warm-start weights (SURVEY.md §5)."""
     base = runner.args.get("tr_resume")
     if not base:
         return 0
@@ -409,6 +424,11 @@ def _maybe_resume(runner, engine, bias_losses):
                 bl.b = bias_b[:, k].copy()
         else:
             bias_losses[0].b = bias_b.copy()
+    loop_state = restored["meta"].get("loop_state") or {}
+    if sched is not None and "sched" in loop_state:
+        sched.load_state_dict(loop_state["sched"])
+    if stopper is not None and "stopper" in loop_state:
+        stopper.load_state_dict(loop_state["stopper"])
     start = int(restored["meta"].get("epoch", 0))
     print(f"--> resumed from {base} at epoch {start}")
     return start
@@ -438,7 +458,7 @@ def train_mos(runner):
     writer = ResultsWriter(runner, runname)
     verbose = args.get("tr_verbose", 0)
     rng = jax.random.PRNGKey(int(args.get("seed", 0)))
-    start_epoch = _maybe_resume(runner, engine, bias_losses)
+    start_epoch = _maybe_resume(runner, engine, bias_losses, sched, stopper)
 
     print("--> start training")
     for epoch in range(start_epoch, args["tr_epochs"]):
@@ -486,7 +506,8 @@ def train_mos(runner):
             f"r_p {r['r_p_mean_file']:0.2f} rmse_map {r['rmse_map_mean_file']:0.2f} // "
             f"best_r_p {stopper.best_r_p:0.2f} best_rmse_map {stopper.best_rmse:0.2f}"
         )
-        writer.save(epoch, loss, ep_runtime, r, bias_losses[0].b, engine.opt_state, stopper.best)
+        writer.save(epoch, loss, ep_runtime, r, bias_losses[0].b, engine.opt_state,
+                    stopper.best, sched=sched, stopper=stopper)
         if stop:
             print(f"--> Early stopping. best_r_p {stopper.best_r_p:0.2f} best_rmse {stopper.best_rmse:0.2f}")
             return
@@ -510,7 +531,7 @@ def train_dim(runner):
     writer = ResultsWriter(runner, runname)
     verbose = args.get("tr_verbose", 0)
     rng = jax.random.PRNGKey(int(args.get("seed", 0)))
-    start_epoch = _maybe_resume(runner, engine, bias_losses)
+    start_epoch = _maybe_resume(runner, engine, bias_losses, sched, stopper)
 
     print("--> start training")
     for epoch in range(start_epoch, args["tr_epochs"]):
@@ -574,6 +595,7 @@ def train_dim(runner):
         writer.save(
             epoch, loss, ep_runtime, r,
             np.stack([bl.b for bl in bias_losses], axis=1), engine.opt_state, stopper.best,
+            sched=sched, stopper=stopper,
         )
         if stop:
             print(f"--> Early stopping. best_r_p {stopper.best_r_p_mos:0.2f} best_rmse {stopper.best_rmse_mos:0.2f}")

@@ -33,3 +33,11 @@ class ReduceLROnPlateau:
             self.lr = new_lr
             self.num_bad = 0
         return self.lr
+
+    def state_dict(self) -> dict:
+        return {"lr": self.lr, "best": self.best, "num_bad": self.num_bad}
+
+    def load_state_dict(self, d: dict):
+        self.lr = float(d["lr"])
+        self.best = float(d["best"])
+        self.num_bad = int(d["num_bad"])

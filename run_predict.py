@@ -16,17 +16,17 @@ from nisqa_tpu.model import NisqaTPU
 def parse_args():
     parser = argparse.ArgumentParser()
     parser.add_argument("--mode", required=True, type=str,
-                        help="either predict_file, predict_dir, or predict_csv")
+                        help="prediction mode: predict_file | predict_dir | predict_csv")
     parser.add_argument("--pretrained_model", required=True, type=str,
-                        help="file name of pretrained model (must be in current working folder)")
-    parser.add_argument("--deg", type=str, help="path to speech file")
-    parser.add_argument("--data_dir", type=str, help="folder with speech files")
-    parser.add_argument("--output_dir", type=str, help="folder to output results.csv")
-    parser.add_argument("--csv_file", type=str, help="file name of csv (must be in current working folder)")
-    parser.add_argument("--csv_deg", type=str, help="column in csv with files name/path")
-    parser.add_argument("--num_workers", type=int, default=0, help="number of workers for the data loader")
-    parser.add_argument("--bs", type=int, default=1, help="batch size for predicting")
-    parser.add_argument("--ms_channel", type=int, help="audio channel in case of stereo file")
+                        help="checkpoint .tar to load (path relative to the working directory)")
+    parser.add_argument("--deg", type=str, help="degraded speech wav to score (predict_file mode)")
+    parser.add_argument("--data_dir", type=str, help="directory whose wavs are scored (predict_dir mode)")
+    parser.add_argument("--output_dir", type=str, help="where NISQA_results.csv is written")
+    parser.add_argument("--csv_file", type=str, help="dataset csv listing the files to score (predict_csv mode)")
+    parser.add_argument("--csv_deg", type=str, help="csv column holding each file's name or path")
+    parser.add_argument("--num_workers", type=int, default=0, help="host-side decode thread count")
+    parser.add_argument("--bs", type=int, default=1, help="inference batch size")
+    parser.add_argument("--ms_channel", type=int, help="which channel to use for stereo inputs")
     args = vars(parser.parse_args())
 
     if args["mode"] == "predict_file":

@@ -62,3 +62,76 @@ def test_masked_bn_running_stats_match_packed_reference():
     post_rm2 = z["post::cnn.model.bn2.running_mean"]
     got_rm2 = np.asarray(new_state["bn2"]["mean"])
     assert np.abs(got_rm2 - post_rm2).max() < 1e-3, "bn2 running mean mismatch"
+
+
+_PAD_SCRIPT = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+import jax.numpy as jnp
+import sys
+sys.path.insert(0, %(repo)r)
+from nisqa_tpu.compat.model_args import model_args_from_ckpt_args
+from nisqa_tpu.models.nisqa import build_model
+from nisqa_tpu.train.loop import nan_mse
+
+margs = model_args_from_ckpt_args({"model": "NISQA"})
+for k in ("cnn_dropout", "td_sa_dropout", "pool_att_dropout"):
+    margs[k] = 0.0
+model = build_model("NISQA", margs)
+params, state = model.init(jax.random.PRNGKey(7))
+to64 = lambda t: jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float64), t)
+params, state = to64(params), to64(state)
+
+rng = np.random.default_rng(0)
+T = 20
+segs = jnp.asarray(rng.standard_normal((3, T, 48, 15)))
+n_wins = jnp.array([T, 17, 12], jnp.int32)
+y = jnp.asarray(rng.uniform(1, 5, (3, 1)))
+
+def run(segs_b, n_wins_b, y_b, row_valid):
+    def loss_fn(p):
+        y_hat, new_bn = model.apply(p, state, segs_b, n_wins_b, train=True,
+                                    rng=None, row_valid=row_valid)
+        return nan_mse(y_hat[:, 0], y_b[:, 0]), new_bn
+    (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    return loss, new_bn, grads
+
+# unpadded B=3
+loss_u, bn_u, g_u = run(segs, n_wins, y, jnp.ones((3,), bool))
+
+# padded to B=8 (mesh-multiple): rows 3..7 duplicate row 0 with NaN targets,
+# exactly what train/loop.py::_run_group builds for an 8-device mesh
+segs_p = jnp.concatenate([segs, jnp.broadcast_to(segs[:1], (5, T, 48, 15))])
+n_p = jnp.concatenate([n_wins, jnp.broadcast_to(n_wins[:1], (5,))])
+y_p = jnp.concatenate([y, jnp.full((5, 1), np.nan)])
+loss_p, bn_p, g_p = run(segs_p, n_p, y_p, jnp.arange(8) < 3)
+
+assert abs(float(loss_u) - float(loss_p)) < 1e-12, (float(loss_u), float(loss_p))
+for (pu, pv) in zip(jax.tree_util.tree_leaves(bn_u), jax.tree_util.tree_leaves(bn_p)):
+    d = float(jnp.max(jnp.abs(pu - pv)))
+    assert d < 1e-12, ("bn", d)
+for (pu, pv) in zip(jax.tree_util.tree_leaves(g_u), jax.tree_util.tree_leaves(g_p)):
+    d = float(jnp.max(jnp.abs(pu - pv)))
+    assert d < 1e-12, ("grad", d)
+print("PADDED_BN_PARITY_OK")
+"""
+
+
+def test_padded_batch_matches_unpadded():
+    """Mesh-padding rows (row 0 duplicated, NaN targets) must not change BN
+    running stats, gradients, or loss vs the unpadded batch (VERDICT r1 #2).
+    f64 subprocess removes summation-order noise from the differing batch
+    shapes."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-c", _PAD_SCRIPT % {"repo": repo}],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "NISQA_TPU_NO_CACHE": "1"},
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "PADDED_BN_PARITY_OK" in r.stdout
