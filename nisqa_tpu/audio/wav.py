@@ -248,13 +248,9 @@ def write_wav(path: str, x: np.ndarray, sample_rate: int):
 
 
 def resample_poly(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
-    """Polyphase resampling for the ``ms_sr`` option.
+    """Polyphase resampling (scipy) — kept as an alternative backend.
 
-    The reference delegates to librosa/resampy ``kaiser_best``
-    (`/root/reference/nisqa/NISQA_lib.py:2299-2304` via ``lb.load(sr=...)``).
-    All released configs ship ``ms_sr: null`` (native rate), so this path is
-    only exercised by user configs; we use scipy's polyphase filter, which is
-    not bit-identical to resampy but spectrally equivalent.
+    See :func:`resample_kaiser` for the default ``ms_sr`` path.
     """
     if sr_in == sr_out:
         return x
@@ -264,3 +260,72 @@ def resample_poly(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
 
     g = gcd(int(sr_in), int(sr_out))
     return _rp(x, int(sr_out) // g, int(sr_in) // g).astype(np.float32)
+
+
+_KAISER_BEST = None
+
+
+def _kaiser_best_window():
+    """resampy's 'kaiser_best' interpolation filter, built from its published
+    parameters: 64 zero crossings, 512 table entries per crossing, rolloff
+    0.9475937167399596, Kaiser beta 14.769656459379492."""
+    global _KAISER_BEST
+    if _KAISER_BEST is None:
+        num_zeros, precision = 64, 9
+        rolloff, beta = 0.9475937167399596, 14.769656459379492
+        num_bits = 1 << precision
+        n = num_bits * num_zeros
+        taps = np.arange(n + 1, dtype=np.float64) / num_bits
+        win = rolloff * np.sinc(rolloff * taps) * np.kaiser(2 * n + 1, beta)[n:]
+        delta = np.diff(np.concatenate([win, [0.0]]))
+        _KAISER_BEST = (win, delta, num_bits)
+    return _KAISER_BEST
+
+
+def resample_kaiser(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Windowed-sinc resampling matching resampy's ``kaiser_best`` algorithm.
+
+    The reference resamples via ``librosa.load(sr=ms_sr)`` -> resampy
+    kaiser_best (`/root/reference/nisqa/NISQA_lib.py:2299-2304`). This is the
+    same computation — per output sample, both filter wings are evaluated
+    from the tabulated sinc-Kaiser window with linear interpolation between
+    table entries — vectorised over output samples with a loop over taps.
+    (resampy itself is not installed here; equivalence is by construction
+    from its published algorithm and parameters, and the spectral agreement
+    with scipy polyphase is pinned in tests/test_audio_resample.py.)
+    """
+    if sr_in == sr_out:
+        return np.asarray(x, np.float32)
+    x = np.asarray(x, np.float64)
+    win, delta, num_bits = _kaiser_best_window()
+    n_win = len(win)
+    scale = min(1.0, sr_out / sr_in)
+    index_step = int(scale * num_bits)
+    n_out = int(np.ceil(len(x) * sr_out / sr_in))
+
+    t = np.arange(n_out, dtype=np.float64) * (sr_in / sr_out)
+    n = t.astype(np.int64)
+    frac = scale * (t - n)
+    out = np.zeros(n_out, np.float64)
+
+    def wing(frac_w, sample_of_i):
+        idx_frac = frac_w * num_bits
+        offset = idx_frac.astype(np.int64)
+        eta = idx_frac - offset
+        # run the tap loop long enough for the smallest offset (longest
+        # wing); the per-sample `valid` mask trims the shorter ones
+        i_max = (n_win - offset.min() - 1) // index_step + 1
+        for i in range(int(i_max)):
+            w_idx = offset + i * index_step
+            valid = w_idx < n_win
+            w_idx = np.minimum(w_idx, n_win - 1)
+            w = win[w_idx] + eta * delta[w_idx]
+            s = sample_of_i(i)
+            s_valid = valid & (s >= 0) & (s < len(x))
+            out[s_valid] += w[s_valid] * x[np.clip(s, 0, len(x) - 1)][s_valid]
+
+    wing(frac, lambda i: n - i)               # left wing: x[n-i]
+    wing(scale - frac, lambda i: n + i + 1)   # right wing: x[n+i+1]
+    if scale < 1.0:
+        out *= scale
+    return out.astype(np.float32)

@@ -213,7 +213,8 @@ class InferenceEngine:
 
     def __init__(self, model, params, state, ms: MsConfig, batch_size: int = 32,
                  mesh=None, num_workers: int = 8, precision: str = "default",
-                 pallas_mel: bool = False, fuse_pass: bool = False):
+                 pallas_mel: bool = False, fuse_pass: bool = False,
+                 cache_mb: int = 512):
         self.model = model
         self.ms = ms
         self.batch_size = int(batch_size)
@@ -243,6 +244,14 @@ class InferenceEngine:
         # one large in-dispatch transfer); kept as an option for
         # direct-attached hardware and fixed-corpus serving.
         self.fuse_pass = fuse_pass
+        # device-resident corpus cache: repeated predict_paths over an
+        # unchanged path list (serving; per-epoch validation) skip decode AND
+        # upload — the serving analog of the reference's `_to_memory` RAM
+        # preload (`NISQA_lib.py:2109-2127`). Keyed by (path, size, mtime_ns)
+        # per file; LRU-evicted to stay under ``cache_mb``.
+        self.cache_mb = float(cache_mb)
+        self._corpus_cache = {}
+        self._cache_bytes = 0
         self._pipelines = {}
         self._buf_lens = {}
         self._consts = {}
@@ -339,7 +348,7 @@ class InferenceEngine:
     def _load_audio(self, path):
         y, sr = wavio.read_wav(path, channel=self.ms.channel)
         if self.ms.sr:
-            y = wavio.resample_poly(y, sr, int(self.ms.sr))
+            y = wavio.resample_kaiser(y, sr, int(self.ms.sr))
             sr = int(self.ms.sr)
         return y, sr
 
@@ -389,104 +398,10 @@ class InferenceEngine:
         y, sr = self._load_audio(path)
         return ("f32", y, sr)
 
-    def warmup(self, paths, paths_ref=None):
-        """Compile + execute each pipeline shape these paths need, once, on
-        dummy zero batches, with NO device->host result fetch.
-
-        Result fetches are deferred because on relay-attached TPUs the first
-        readback of a process degrades later host->device bandwidth ~40x
-        (docs/RELAY_NOTES.md); executing constant-free jit executables is
-        clean. On directly-attached hardware this is an ordinary warmup.
-        """
+    def _metas_for(self, audio, audio_ref):
+        """Per-file (index, sr, n_wins, transport kind) descriptors."""
         ms = self.ms
         de = self.model.double_ended
-        audio = self._scan_transport(paths)
-        audio_ref = self._scan_transport(paths_ref) if de else None
-
-        def n_of(entry):
-            return entry[1] if entry[0] == "native" else len(entry[1])
-
-        def kind_of(entry):
-            return "i16" if entry[0] == "native" else entry[0]
-
-        shapes = set()
-        for i, entry in enumerate(audio):
-            sr = entry[2]
-            nw = ms.n_wins(ms.n_frames(n_of(entry), sr))
-            kind = kind_of(entry)
-            if de:
-                ref = audio_ref[i]
-                nw = max(nw, ms.n_wins(ms.n_frames(n_of(ref), ref[2])))
-                kind = "f32" if "f32" in (kind, kind_of(ref)) else "i16"
-            shapes.add((sr, self._bucket_for(nw), kind))
-        pending = []
-        for sr, bucket, kind in sorted(shapes):
-            run = self._pipeline(sr, bucket, kind)
-            buf_len = self._buf_lens[(sr, bucket, kind)]
-            dtype = np.int16 if kind == "i16" else np.float32
-            buf = np.zeros((self.batch_size, buf_len), dtype)
-            hop = int(sr * ms.hop_s)
-            n_full = ((bucket - 1) * ms.seg_hop + ms.seg_length - 1) * hop
-            n = np.full((self.batch_size,), n_full, np.int32)
-            batch = (buf, n) * (2 if de else 1)
-            pending.append(run(self.params, self.state, *batch))
-        for y in pending:
-            y.block_until_ready()
-
-        # also pre-compile the end-of-pass on-device concat for the batch
-        # arity this corpus will produce (a cold concat compile goes through
-        # the slow remote-compile channel)
-        n_batches = 0
-        by_shape = {}
-        for i, entry in enumerate(audio):
-            sr = entry[2]
-            nw = ms.n_wins(ms.n_frames(n_of(entry), sr))
-            kind = kind_of(entry)
-            if de:
-                ref = audio_ref[i]
-                nw = max(nw, ms.n_wins(ms.n_frames(n_of(ref), ref[2])))
-                kind = "f32" if "f32" in (kind, kind_of(ref)) else "i16"
-            by_shape.setdefault((sr, self._bucket_for(nw), kind), []).append(i)
-        for idxs in by_shape.values():
-            n_batches += -(-len(idxs) // self.batch_size)
-        if n_batches > 1:
-            k_out = 5 if self.model.dim else 1
-            dummies = [jnp.zeros((self.batch_size, k_out), jnp.float32)] * n_batches
-            jnp.concatenate(dummies, axis=0).block_until_ready()
-
-        plan_kinds = {k for (_, _, k) in by_shape}
-        if self.fuse_pass and not de and n_batches > 1 and len(plan_kinds) == 1:
-            # pre-compile + pre-load the single-executable pass for this
-            # corpus's batching plan
-            plan_keys = []
-            for gkey, idxs in sorted(by_shape.items()):
-                plan_keys += [gkey] * (-(-len(idxs) // self.batch_size))
-            fused = self._fused_pipeline(tuple(plan_keys))
-            args = []
-            for sr, bucket, kind in plan_keys:
-                buf_len = self._buf_lens[(sr, bucket, kind)]
-                dtype = np.int16 if kind == "i16" else np.float32
-                hop = int(sr * ms.hop_s)
-                n_full = ((bucket - 1) * ms.seg_hop + ms.seg_length - 1) * hop
-                args.append(np.zeros((self.batch_size, buf_len), dtype))
-                args.append(np.full((self.batch_size,), n_full, np.int32))
-            fused(self.params, self.state, *args).block_until_ready()
-
-    def predict_paths(self, paths, paths_ref=None, fetch=True):
-        """Predict for a list of wav paths -> (N, out_dim) float32.
-
-        Groups files by (sr, bucket), batches within groups, restores input
-        order. Host decode runs in a thread pool overlapped with device work.
-        All dispatches (uploads + compute) are queued before the single
-        result collection at the end. ``fetch=False`` blocks on completion
-        and returns None (see :meth:`warmup`).
-        """
-        ms = self.ms
-        N = len(paths)
-        de = self.model.double_ended
-
-        audio = self._scan_transport(paths)
-        audio_ref = self._scan_transport(paths_ref) if de else None
 
         def n_of(entry):
             return entry[1] if entry[0] == "native" else len(entry[1])
@@ -505,61 +420,214 @@ class InferenceEngine:
                     raise ValueError(f"deg/ref sample rates differ for item {i}")
                 nw = max(nw, ms.n_wins(ms.n_frames(n_of(ref), sr)))
                 kind = "f32" if "f32" in (kind, kind_of(ref)) else "i16"
-            metas.append((i, sr, self._bucket_for(nw), kind))
+            metas.append((i, sr, nw, kind))
+        return metas
 
+    def _plan_for(self, metas):
+        """Corpus-adaptive batching plan: [(shape key, file-index chunk)].
+
+        Files group by (sr, transport); within a group they are length-sorted
+        and chunked into batches, and each CHUNK gets the smallest grid
+        bucket that fits its longest file. That costs ceil(N/bs) executions
+        per group — the round-1 scheme (bucket first, then chunk) paid one
+        execution per OCCUPIED bucket, ~3x more RPCs on small corpora, which
+        is the pass floor on relay-attached TPUs (docs/RELAY_NOTES.md).
+        Length-sorting also minimises padding bytes. Buckets stay on the
+        geometric grid so compiled executables persist across corpora.
+        """
+        bs = self.batch_size
         groups = {}
-        for i, sr, bucket, kind in metas:
-            groups.setdefault((sr, bucket, kind), []).append(i)
+        for i, sr, nw, kind in metas:
+            groups.setdefault((sr, kind), []).append((nw, i))
+        plan = []
+        for (sr, kind), items in sorted(groups.items()):
+            items.sort(key=lambda t: (-t[0], t[1]))
+            for start in range(0, len(items), bs):
+                chunk = items[start : start + bs]
+                bucket = self._bucket_for(chunk[0][0])
+                plan.append(((sr, bucket, kind), [i for _, i in chunk]))
+        return plan
 
-        self._batch_ordinal = 0
+    def warmup(self, paths, paths_ref=None):
+        """Compile + execute each pipeline shape these paths need, once, on
+        dummy zero batches, with NO device->host result fetch.
+
+        Result fetches are deferred because on relay-attached TPUs the first
+        readback of a process degrades later host->device bandwidth ~40x
+        (docs/RELAY_NOTES.md); executing constant-free jit executables is
+        clean. On directly-attached hardware this is an ordinary warmup.
+        """
+        ms = self.ms
+        de = self.model.double_ended
+        audio = self._scan_transport(paths)
+        audio_ref = self._scan_transport(paths_ref) if de else None
+        plan = self._plan_for(self._metas_for(audio, audio_ref))
+
+        def full_n(sr, bucket):
+            hop = int(sr * ms.hop_s)
+            return ((bucket - 1) * ms.seg_hop + ms.seg_length - 1) * hop
+
+        pending = []
+        for sr, bucket, kind in sorted({gkey for gkey, _ in plan}):
+            run = self._pipeline(sr, bucket, kind)
+            buf_len = self._buf_lens[(sr, bucket, kind)]
+            dtype = np.int16 if kind == "i16" else np.float32
+            buf = np.zeros((self.batch_size, buf_len), dtype)
+            n = np.full((self.batch_size,), full_n(sr, bucket), np.int32)
+            batch = (buf, n) * (2 if de else 1)
+            pending.append(run(self.params, self.state, *batch))
+        for y in pending:
+            y.block_until_ready()
+
+        # also pre-compile the end-of-pass on-device concat for the batch
+        # arity this corpus will produce (a cold concat compile goes through
+        # the slow remote-compile channel)
+        n_batches = len(plan)
+        if n_batches > 1:
+            k_out = 5 if self.model.dim else 1
+            dummies = [jnp.zeros((self.batch_size, k_out), jnp.float32)] * n_batches
+            jnp.concatenate(dummies, axis=0).block_until_ready()
+
+        if self._use_fused(plan):
+            # pre-compile + pre-load the single-executable pass for this
+            # corpus's batching plan
+            plan_keys = tuple(gkey for gkey, _ in plan)
+            jitted, consts_tuple, offsets, buf_lens = self._fused_parts(plan_keys)
+            dtype = np.int16 if plan_keys[0][2] == "i16" else np.float32
+            flat = np.zeros((int(offsets[-1]),), dtype)
+            ns = np.empty((len(plan_keys) * self.batch_size,), np.int32)
+            for j, (sr, bucket, kind) in enumerate(plan_keys):
+                ns[j * self.batch_size : (j + 1) * self.batch_size] = full_n(sr, bucket)
+            jitted(self.params, self.state, consts_tuple, flat, ns).block_until_ready()
+
+    def _use_fused(self, plan):
+        return (
+            self.fuse_pass
+            and not self.model.double_ended
+            and self.mesh is None
+            and len(plan) > 1
+            and len({k for (_, _, k), _ in plan}) == 1
+        )
+
+    def _fingerprint(self, paths, paths_ref):
+        """Corpus identity for the device cache: every file's
+        (path, size, mtime_ns), or None when caching is off/unavailable."""
+        if self.cache_mb <= 0:
+            return None
+        try:
+            items = []
+            for p in list(paths) + (list(paths_ref) if paths_ref else []):
+                st = os.stat(p)
+                items.append((p, st.st_size, st.st_mtime_ns))
+            return tuple(items)
+        except OSError:
+            return None
+
+    def _cache_store(self, fp, entry):
+        cap = int(self.cache_mb * (1 << 20))
+        if entry["bytes"] > cap:
+            return
+        while self._cache_bytes + entry["bytes"] > cap and self._corpus_cache:
+            oldest = next(iter(self._corpus_cache))
+            self._cache_bytes -= self._corpus_cache.pop(oldest)["bytes"]
+        self._corpus_cache[fp] = entry
+        self._cache_bytes += entry["bytes"]
+
+    def predict_paths(self, paths, paths_ref=None, fetch=True):
+        """Predict for a list of audio paths -> (N, out_dim) float32.
+
+        Builds a corpus-adaptive batching plan (see :meth:`_plan_for`),
+        restores input order, and runs one of three regimes:
+          * cached: the corpus's device-resident input batches are reused —
+            no decode, no upload; just execute + fetch;
+          * fused (``fuse_pass``): the whole pass is one executable fed by
+            one flat upload;
+          * interleaved (default): each batch dispatches as soon as its host
+            fill completes, overlapping decode with device work.
+        All regimes produce identical outputs. ``fetch=False`` blocks on
+        completion and returns None (see :meth:`warmup`).
+        """
+        N = len(paths)
+        de = self.model.double_ended
         bs = self.batch_size
 
-        # batching plan: ordered list of (shape key, file-index chunks)
-        plan = []
-        for gkey, idxs in sorted(groups.items()):
-            for start in range(0, len(idxs), bs):
-                plan.append((gkey, idxs[start : start + bs]))
+        fp = self._fingerprint(paths, paths_ref)
+        hit = self._corpus_cache.pop(fp, None) if fp is not None else None
+        if hit is not None:
+            self._corpus_cache[fp] = hit  # LRU refresh
+            if hit["mode"] == "fused":
+                all_dev = hit["jitted"](self.params, self.state, hit["consts"],
+                                        hit["flat"], hit["ns"])
+                return self._collect_fused(all_dev, hit["plan"], N, fetch)
+            pending = [
+                (chunk, self._pipeline(*gkey)(self.params, self.state, *args))
+                for gkey, chunk, args in hit["batches"]
+            ]
+            return self._collect(pending, N, fetch)
 
-        plan_kinds = {k for (_, _, k), _ in plan}
-        if self.fuse_pass and not de and len(plan) > 1 and len(plan_kinds) == 1:
-            fused = self._fused_pipeline(tuple(gkey for gkey, _ in plan))
-            args = []
-            for (sr, bucket, kind), chunk in plan:
-                buf_len = self._buf_lens[(sr, bucket, kind)]
-                args.extend(self._make_batch(
-                    chunk, audio, audio_ref, buf_len, bs, de, kind,
+        audio = self._scan_transport(paths)
+        audio_ref = self._scan_transport(paths_ref) if de else None
+        plan = self._plan_for(self._metas_for(audio, audio_ref))
+
+        self._batch_ordinal = 0
+        caching = fp is not None
+
+        if self._use_fused(plan):
+            plan_keys = tuple(gkey for gkey, _ in plan)
+            jitted, consts_tuple, offsets, buf_lens = self._fused_parts(plan_keys)
+            dtype = np.int16 if plan_keys[0][2] == "i16" else np.float32
+            flat = self._host_buf(("fused_flat", plan_keys), (int(offsets[-1]),), dtype)
+            ns = np.empty((len(plan) * bs,), np.int32)
+            for j, (gkey, chunk) in enumerate(plan):
+                buf, n = self._make_batch(
+                    chunk, audio, audio_ref, buf_lens[j], bs, de, gkey[2],
                     paths=paths, paths_ref=paths_ref,
-                ))
-            all_dev = fused(self.params, self.state, *args)
-            if not fetch:
-                all_dev.block_until_ready()
-                return None
-            all_y = np.asarray(all_dev)
-            out = np.zeros((N, all_y.shape[1]), dtype=np.float32)
-            for j, (_, chunk) in enumerate(plan):
-                out[np.asarray(chunk)] = all_y[j * bs : j * bs + len(chunk)]
-            return out
+                )
+                flat[offsets[j] : offsets[j + 1]] = buf.reshape(-1)
+                ns[j * bs : (j + 1) * bs] = n
+            flat_in, ns_in = flat, ns
+            if caching:
+                flat_in, ns_in = jax.device_put(flat), jax.device_put(ns)
+                self._cache_store(fp, {
+                    "mode": "fused", "plan": plan, "jitted": jitted,
+                    "consts": consts_tuple, "flat": flat_in, "ns": ns_in,
+                    "bytes": flat_in.nbytes + ns_in.nbytes,
+                })
+            all_dev = jitted(self.params, self.state, consts_tuple, flat_in, ns_in)
+            return self._collect_fused(all_dev, plan, N, fetch)
 
         # Dispatch each batch as soon as it is filled: jit's async transfer
         # and execution overlap the next batch's host fill. (Constant-free
         # executables + deferred fetches keep the relay link healthy during
         # this interleaving; docs/RELAY_NOTES.md.)
-        out = None
         pending = []
-        for (sr, bucket, kind), chunk in plan:
+        cached_batches = []
+        for gkey, chunk in plan:
+            sr, bucket, kind = gkey
             run = self._pipeline(sr, bucket, kind)
-            buf_len = self._buf_lens[(sr, bucket, kind)]
             batch_args = self._make_batch(
-                chunk, audio, audio_ref, buf_len, bs, de, kind,
+                chunk, audio, audio_ref, self._buf_lens[gkey], bs, de, kind,
                 paths=paths, paths_ref=paths_ref,
             )
+            if self._data_sharding is not None:
+                batch_args = tuple(jax.device_put(a, self._data_sharding) for a in batch_args)
+            elif caching:
+                batch_args = tuple(jax.device_put(a) for a in batch_args)
+            if caching:
+                cached_batches.append((gkey, chunk, batch_args))
             pending.append((chunk, run(self.params, self.state, *batch_args)))
+        if caching:
+            self._cache_store(fp, {
+                "mode": "batches", "plan": plan, "batches": cached_batches,
+                "bytes": sum(a.nbytes for _, _, args in cached_batches for a in args),
+            })
+        return self._collect(pending, N, fetch)
 
+    def _collect(self, pending, N, fetch):
         if not fetch:
             for _, y in pending:
                 y.block_until_ready()
             return None
-
         # one device->host fetch for the whole pass: each readback is a
         # costly RPC on relay-attached TPUs, so concatenate on device first
         if len(pending) > 1:
@@ -569,15 +637,33 @@ class InferenceEngine:
         out = np.zeros((N, all_y.shape[1]), dtype=np.float32)
         row = 0
         for chunk, y in pending:
-            bs_i = y.shape[0]
             out[np.asarray(chunk)] = all_y[row : row + len(chunk)]
-            row += bs_i
+            row += y.shape[0]
         return out
 
-    def _fused_pipeline(self, plan_keys):
+    def _collect_fused(self, all_dev, plan, N, fetch):
+        if not fetch:
+            all_dev.block_until_ready()
+            return None
+        bs = self.batch_size
+        all_y = np.asarray(all_dev)
+        out = np.zeros((N, all_y.shape[1]), dtype=np.float32)
+        for j, (_, chunk) in enumerate(plan):
+            out[np.asarray(chunk)] = all_y[j * bs : j * bs + len(chunk)]
+        return out
+
+    def _fused_parts(self, plan_keys):
         """One jit for a whole pass: every (sr, bucket, kind) batch in
         ``plan_keys`` runs inside a single executable returning the
-        row-concatenated predictions — one execute RPC per pass."""
+        row-concatenated predictions — one execute RPC per pass.
+
+        Returns (jitted, consts_tuple, offsets, buf_lens); the caller packs
+        the batch buffers into ONE flat array (plus one flat n array),
+        statically sliced apart on device, so the whole pass costs one
+        argument upload + one execute + one fetch RPC (the relay's per-RPC
+        latency, not bytes or FLOPs, is the pass floor; RELAY_NOTES.md).
+        Only uniform-dtype plans fuse; i16/f32 mixes use the unfused path.
+        """
         cache_key = ("fused", plan_keys)
         if cache_key in self._pipelines:
             return self._pipelines[cache_key]
@@ -594,12 +680,6 @@ class InferenceEngine:
             # as HLO literals, which poisons the relay link on load
             consts_list.append(self._consts[(sr, kind)])
 
-        # All batch buffers travel as ONE flat array (plus one flat n array),
-        # statically sliced apart on device: the whole pass costs one
-        # argument upload + one execute + one fetch RPC (the relay's per-RPC
-        # latency, not bytes or FLOPs, is the pass floor; RELAY_NOTES.md).
-        # Only uniform-dtype plans fuse this way; i16/f32 mixes use the
-        # unfused path (predict_paths falls back).
         bs = self.batch_size
         buf_lens = [self._buf_lens[k] for k in plan_keys]
         offsets = np.cumsum([0] + [bs * L for L in buf_lens])
@@ -616,21 +696,9 @@ class InferenceEngine:
                     outs.append(y)
                 return jnp.concatenate(outs, axis=0)
 
-        jitted = jax.jit(run)
-        consts_tuple = tuple(consts_list)
-
-        def call(params, state, *flat_args, _f=jitted, _c=consts_tuple):
-            # flat_args: interleaved (buf, n) per part, packed here
-            bufs = [flat_args[2 * j] for j in range(len(fes))]
-            ns = [flat_args[2 * j + 1] for j in range(len(fes))]
-            flat = self._host_buf(("fused_flat", cache_key), (int(offsets[-1]),), bufs[0].dtype)
-            for j, b in enumerate(bufs):
-                flat[offsets[j] : offsets[j + 1]] = b.reshape(-1)
-            return _f(params, state, _c, flat, np.concatenate(ns))
-
-        call.uniform_dtype = True
-        self._pipelines[cache_key] = call
-        return call
+        parts = (jax.jit(run), tuple(consts_list), offsets, buf_lens)
+        self._pipelines[cache_key] = parts
+        return parts
 
     def _host_buf(self, key, shape, dtype, zero=False):
         buf = self._host_bufs.get(key)
@@ -722,6 +790,7 @@ class InferenceEngine:
         if de:
             buf_r, n_r = fill(audio_ref, paths_ref)
             args += [buf_r, n_r]
-        if self._data_sharding is not None:
-            args = [jax.device_put(a, self._data_sharding) for a in args]
+        # host numpy arrays; the caller decides device placement (sharded
+        # device_put under a mesh, plain device_put when caching, or jit's
+        # own async transfer otherwise)
         return tuple(args)

@@ -122,7 +122,7 @@ class NisqaTPU:
         def load(path):
             y, sr = wavio.read_wav(path, channel=ms.channel)
             if ms.sr:
-                y = wavio.resample_poly(y, sr, int(ms.sr))
+                y = wavio.resample_kaiser(y, sr, int(ms.sr))
                 sr = int(ms.sr)
             return y, sr
 

@@ -31,23 +31,11 @@ from nisqa_tpu.compat.model_args import model_args_from_ckpt_args  # noqa: E402
 
 
 def make_corpus(out_dir, n_files=96, seed=0):
-    rng = np.random.default_rng(seed)
-    os.makedirs(out_dir, exist_ok=True)
-    paths, total_sec = [], 0.0
-    for i in range(n_files):
-        sr = 48000
-        dur = float(rng.uniform(5.0, 12.0))
-        t = np.arange(int(sr * dur)) / sr
-        f0 = rng.uniform(100, 300)
-        y = (
-            0.3 * np.sin(2 * np.pi * f0 * t)
-            + 0.1 * np.sin(2 * np.pi * 3.1 * f0 * t)
-            + 0.05 * rng.standard_normal(len(t))
-        )
-        p = os.path.join(out_dir, f"bench_{i:03d}.wav")
-        write_wav(p, y.astype(np.float32), sr)
-        paths.append(p)
-        total_sec += len(t) / sr
+    # the EXACT corpus bench.py measures the TPU pipeline on, so the
+    # vs_baseline ratio compares identical workloads
+    from bench import make_corpus as _mk
+
+    total_sec, paths = _mk(out_dir, n_files, seed)
     return paths, total_sec
 
 
