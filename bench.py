@@ -17,7 +17,8 @@ measured config: DataLoader workers=0 on this 1-core box) measured by
 tools/measure_baseline.py on the SAME corpus — see BASELINE.md.
 
 A/B env switches: NISQA_BENCH_FUSE=1 (whole pass in one executable),
-NISQA_BENCH_PALLAS=1 (fused Pallas DFT->mel front-end),
+NISQA_BENCH_PALLAS=1 / NISQA_BENCH_NOPALLAS=1 (force the Pallas DFT->mel
+front-end on/off; default auto = on for TPU backends),
 NISQA_BENCH_NOCACHE=1 (disable the corpus cache; every pass cold).
 """
 
@@ -74,7 +75,9 @@ def _run(warm_only=False):
     engine = InferenceEngine(
         model, params, state, MsConfig(args), batch_size=32, num_workers=8,
         fuse_pass=bool(os.environ.get("NISQA_BENCH_FUSE")),
-        pallas_mel=bool(os.environ.get("NISQA_BENCH_PALLAS")),
+        # default None = auto (Pallas front-end on TPU backends); A/B overrides
+        pallas_mel=(False if os.environ.get("NISQA_BENCH_NOPALLAS")
+                    else True if os.environ.get("NISQA_BENCH_PALLAS") else None),
         cache_mb=0 if os.environ.get("NISQA_BENCH_NOCACHE") else 512,
     )
 

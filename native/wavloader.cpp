@@ -1,13 +1,14 @@
-// Native batch WAV loader / buffer filler for the TPU inference engine.
+// Native batch WAV/FLAC loader / buffer filler for the TPU inference engine.
 //
 // The reference's data loading is Python DataLoader workers computing librosa
 // spectrograms per file (`/root/reference/nisqa/NISQA_lib.py:2052-2236`). In
 // this framework the spectrogram lives on-device; what remains on the host is
-// decoding PCM16 WAVs and memcpy-ing samples (plus 2 x n_fft/2 reflected
-// samples) into the fixed-size batch buffers the XLA pipeline consumes. On
-// 1-core hosts that fill contends with the transfer client for the GIL /
-// CPU, so it is implemented here in C++ with std::thread workers and exposed
-// through ctypes (nisqa_tpu/data/native.py), with a pure-numpy fallback.
+// decoding PCM16 WAVs (and 16-bit mono FLAC) and memcpy-ing samples (plus
+// 2 x n_fft/2 reflected samples) into the fixed-size batch buffers the XLA
+// pipeline consumes. On 1-core hosts that fill contends with the transfer
+// client for the GIL / CPU, so it is implemented here in C++ with std::thread
+// workers and exposed through ctypes (nisqa_tpu/data/native.py), with a
+// pure-numpy fallback (nisqa_tpu/audio/{wav,flac}.py).
 //
 // Build: make -C native   (produces libwavloader.so)
 
@@ -70,12 +71,19 @@ WavData parse_wav(const uint8_t* buf, int64_t len) {
 // The PCM16 payload is read straight into the destination row (no
 // intermediate file buffer): header parse from a 64K prefix, then one
 // positioned read of the data chunk.
+int fill_row_flac(const char* path, int16_t* row, int64_t buf_len, int64_t pad,
+                  int32_t* n_out, int32_t* sr_out);
+
 int fill_row(const char* path, int16_t* row, int64_t buf_len, int64_t pad,
              int32_t* n_out, int32_t* sr_out) {
     FILE* f = fopen(path, "rb");
     if (!f) return -1;
     uint8_t hdr[65536];
     size_t got = fread(hdr, 1, sizeof(hdr), f);
+    if (got >= 4 && memcmp(hdr, "fLaC", 4) == 0) {
+        fclose(f);
+        return fill_row_flac(path, row, buf_len, pad, n_out, sr_out);
+    }
 
     WavData w = parse_wav(hdr, (int64_t)got);
     int64_t n = w.ok ? w.n_declared : 0;
@@ -109,6 +117,272 @@ int fill_row(const char* path, int16_t* row, int64_t buf_len, int64_t pad,
 
     *n_out = (int32_t)n;
     *sr_out = w.sample_rate;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// FLAC (RFC 9639): full-stream decode for 16-bit MONO files (the i16
+// transport case); anything else returns ok=0 and the caller falls back to
+// the Python decoder (nisqa_tpu/audio/flac.py, the reference implementation
+// this code is tested against bit-for-bit).
+// ---------------------------------------------------------------------------
+
+struct FlacInfo {
+    int32_t sample_rate;
+    int32_t channels;
+    int32_t bits;
+    int64_t total_samples;
+    int64_t audio_off;  // first frame byte
+    int ok;
+};
+
+FlacInfo parse_flac_header(const uint8_t* buf, int64_t len) {
+    FlacInfo out{0, 0, 0, 0, 0, 0};
+    if (len < 8 || memcmp(buf, "fLaC", 4) != 0) return out;
+    int64_t pos = 4;
+    bool have_si = false;
+    while (pos + 4 <= len) {
+        uint8_t hdr = buf[pos];
+        int64_t blen = ((int64_t)buf[pos + 1] << 16) | ((int64_t)buf[pos + 2] << 8) | buf[pos + 3];
+        const uint8_t* b = buf + pos + 4;
+        if ((hdr & 0x7F) == 0 && pos + 4 + 34 <= len) {  // STREAMINFO
+            out.sample_rate = ((int32_t)b[10] << 12) | ((int32_t)b[11] << 4) | (b[12] >> 4);
+            out.channels = ((b[12] >> 1) & 0x7) + 1;
+            out.bits = (((b[12] & 1) << 4) | (b[13] >> 4)) + 1;
+            out.total_samples = ((int64_t)(b[13] & 0x0F) << 32) |
+                                ((int64_t)b[14] << 24) | ((int64_t)b[15] << 16) |
+                                ((int64_t)b[16] << 8) | b[17];
+            have_si = true;
+        }
+        pos += 4 + blen;
+        if (hdr & 0x80) break;
+    }
+    if (!have_si || pos > len) return out;
+    out.audio_off = pos;
+    out.ok = 1;
+    return out;
+}
+
+// MSB-first bit reader over an in-memory buffer.
+struct BitReader {
+    const uint8_t* data;
+    int64_t len;
+    int64_t byte = 0;
+    uint64_t acc = 0;
+    int nbits = 0;
+    bool fail = false;
+
+    bool pull() {
+        if (byte >= len) { fail = true; return false; }
+        acc = (acc << 8) | data[byte++];
+        nbits += 8;
+        return true;
+    }
+    uint32_t read_uint(int n) {  // n <= 32
+        while (nbits < n) if (!pull()) return 0;
+        nbits -= n;
+        uint32_t r = (uint32_t)(acc >> nbits);
+        acc &= (nbits ? ((1ULL << nbits) - 1) : 0);
+        return r;
+    }
+    int64_t read_sint(int n) {
+        // n can be up to 33 (17-bit side channels never occur in mono, but
+        // escape residuals can declare up to 31 bits + warmups up to 32)
+        int64_t v = 0;
+        int take = n;
+        while (take > 32) { v = (v << 32) | read_uint(32); take -= 32; }
+        v = (v << take) | read_uint(take);
+        if (n < 64 && (v & (1LL << (n - 1)))) v -= (1LL << n);
+        return v;
+    }
+    int64_t read_unary() {
+        int64_t q = 0;
+        for (;;) {
+            if (nbits == 0 && !pull()) return 0;
+            if (acc == 0) { q += nbits; nbits = 0; continue; }
+            int top = 64 - __builtin_clzll(acc);
+            q += nbits - top;
+            nbits = top - 1;
+            acc &= (nbits ? ((1ULL << nbits) - 1) : 0);
+            return q;
+        }
+    }
+    void align() { int d = nbits & 7; if (d) read_uint(d); }
+    uint64_t read_utf8() {
+        uint32_t b0 = read_uint(8);
+        if (b0 < 0x80) return b0;
+        int nf = 0;
+        uint32_t mask = 0x40;
+        while (b0 & mask) { ++nf; mask >>= 1; }
+        if (nf < 1 || nf > 6) { fail = true; return 0; }
+        uint64_t v = b0 & (mask - 1);
+        for (int i = 0; i < nf; ++i) {
+            uint32_t b = read_uint(8);
+            if ((b & 0xC0) != 0x80) { fail = true; return 0; }
+            v = (v << 6) | (b & 0x3F);
+        }
+        return v;
+    }
+};
+
+// decode one subframe into x[0..blocksize); returns false on error/unsupported
+bool decode_subframe(BitReader& br, int64_t* x, int64_t blocksize, int bps) {
+    if (br.read_uint(1) != 0) return false;
+    int type = (int)br.read_uint(6);
+    int wasted = 0;
+    if (br.read_uint(1)) wasted = 1 + (int)br.read_unary();
+    bps -= wasted;
+    if (bps <= 0 || bps > 32) return false;
+
+    int order = 0;
+    int64_t coefs[32];
+    int shift = 0;
+    bool is_lpc = false;
+
+    if (type == 0) {  // CONSTANT
+        int64_t c = br.read_sint(bps);
+        for (int64_t i = 0; i < blocksize; ++i) x[i] = c;
+        order = -1;  // no residual
+    } else if (type == 1) {  // VERBATIM
+        for (int64_t i = 0; i < blocksize; ++i) x[i] = br.read_sint(bps);
+        order = -1;
+    } else if (type >= 8 && type <= 12) {  // FIXED
+        order = type - 8;
+        static const int fc[5][4] = {{0,0,0,0},{1,0,0,0},{2,-1,0,0},{3,-3,1,0},{4,-6,4,-1}};
+        for (int j = 0; j < order; ++j) coefs[j] = fc[order][j];
+        shift = 0;
+        for (int64_t i = 0; i < order; ++i) x[i] = br.read_sint(bps);
+    } else if (type >= 32) {  // LPC
+        is_lpc = true;
+        order = (type & 31) + 1;
+        for (int64_t i = 0; i < order; ++i) x[i] = br.read_sint(bps);
+        int prec = (int)br.read_uint(4) + 1;
+        if (prec == 16) return false;
+        shift = (int)br.read_sint(5);
+        if (shift < 0) return false;
+        for (int j = 0; j < order; ++j) coefs[j] = br.read_sint(prec);
+    } else {
+        return false;
+    }
+    (void)is_lpc;
+
+    if (order >= 0) {
+        // partitioned rice residual
+        int method = (int)br.read_uint(2);
+        if (method > 1) return false;
+        int plen = method == 0 ? 4 : 5;
+        uint32_t escape = (1u << plen) - 1;
+        int po = (int)br.read_uint(4);
+        int64_t n_part = 1LL << po;
+        if (blocksize % n_part || (blocksize >> po) < order) return false;
+        int64_t idx = order;
+        for (int64_t p = 0; p < n_part; ++p) {
+            int64_t n = (blocksize >> po) - (p == 0 ? order : 0);
+            uint32_t k = br.read_uint(plen);
+            if (k == escape) {
+                int nb = (int)br.read_uint(5);
+                for (int64_t i = 0; i < n; ++i)
+                    x[idx++] = nb ? br.read_sint(nb) : 0;
+            } else {
+                for (int64_t i = 0; i < n; ++i) {
+                    uint64_t u = ((uint64_t)br.read_unary() << k) | br.read_uint((int)k);
+                    x[idx++] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
+                }
+            }
+            if (br.fail) return false;
+        }
+        // predictor reconstruction (residual is stored in x[order..))
+        for (int64_t i = order; i < blocksize; ++i) {
+            __int128 accp = 0;
+            for (int j = 0; j < order; ++j) accp += (__int128)coefs[j] * x[i - 1 - j];
+            x[i] += (int64_t)(accp >> shift);
+        }
+    }
+    if (wasted)
+        for (int64_t i = 0; i < blocksize; ++i) x[i] <<= wasted;
+    return !br.fail;
+}
+
+// Decode a whole 16-bit mono FLAC stream into out[0..max_out). Returns the
+// number of samples decoded, or -1 on error/unsupported stream.
+int64_t decode_flac_mono16(const uint8_t* buf, int64_t len, const FlacInfo& fi,
+                           int16_t* out, int64_t max_out,
+                           std::vector<int64_t>& scratch) {
+    static const int bs_code_tab[16] = {0, 192, 576, 1152, 2304, 4608, -1, -2,
+                                        256, 512, 1024, 2048, 4096, 8192, 16384, 32768};
+    static const int ss_code_tab[8] = {0, 8, 12, -1, 16, 20, 24, 32};
+    BitReader br{buf, len};
+    br.byte = fi.audio_off;
+    int64_t done = 0;
+    while (br.byte < len || br.nbits > 0) {
+        if (fi.total_samples && done >= fi.total_samples) break;
+        if (br.read_uint(14) != 0x3FFE) return done > 0 ? done : -1;
+        br.read_uint(2);  // reserved + blocking strategy
+        int bs_code = (int)br.read_uint(4);
+        int sr_code = (int)br.read_uint(4);
+        int ch_code = (int)br.read_uint(4);
+        int ss_code = (int)br.read_uint(3);
+        br.read_uint(1);
+        br.read_utf8();
+        int64_t blocksize;
+        if (bs_code == 0) return -1;
+        else if (bs_code == 6) blocksize = (int64_t)br.read_uint(8) + 1;
+        else if (bs_code == 7) blocksize = (int64_t)br.read_uint(16) + 1;
+        else blocksize = bs_code_tab[bs_code];
+        if (sr_code == 12) br.read_uint(8);
+        else if (sr_code == 13 || sr_code == 14) br.read_uint(16);
+        else if (sr_code == 15) return -1;
+        int bits = ss_code == 0 ? fi.bits : ss_code_tab[ss_code];
+        if (bits != 16 || ch_code != 0) return -1;  // mono 16-bit only here
+        br.read_uint(8);  // CRC-8 (not verified)
+
+        if ((int64_t)scratch.size() < blocksize) scratch.resize(blocksize);
+        if (!decode_subframe(br, scratch.data(), blocksize, bits)) return -1;
+        br.align();
+        br.read_uint(16);  // CRC-16 (not verified)
+        if (br.fail) return -1;
+
+        int64_t take = blocksize;
+        if (done + take > max_out) take = max_out - done;
+        if (fi.total_samples && done + take > fi.total_samples)
+            take = fi.total_samples - done;
+        for (int64_t i = 0; i < take; ++i) out[done + i] = (int16_t)scratch[i];
+        done += take;
+        if (take < blocksize) break;  // buffer full
+    }
+    return done;
+}
+
+// Read the whole file; decode FLAC into the row at [pad, pad+n); reflect-pad.
+int fill_row_flac(const char* path, int16_t* row, int64_t buf_len, int64_t pad,
+                  int32_t* n_out, int32_t* sr_out) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    fseek(f, 0, SEEK_END);
+    long fsize = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> data((size_t)fsize);
+    if (fread(data.data(), 1, (size_t)fsize, f) != (size_t)fsize) { fclose(f); return -1; }
+    fclose(f);
+
+    FlacInfo fi = parse_flac_header(data.data(), fsize);
+    if (!fi.ok || fi.channels != 1 || fi.bits != 16) return -1;
+    int64_t n_total = fi.total_samples;
+    if (n_total <= pad + 1 || pad + n_total > buf_len) return -1;
+
+    std::vector<int64_t> scratch;
+    int64_t n = decode_flac_mono16(data.data(), fsize, fi, row + pad,
+                                   buf_len - pad, scratch);
+    if (n != n_total) return -1;
+
+    const int16_t* x = row + pad;
+    for (int64_t i = 0; i < pad; ++i) row[i] = x[pad - i];
+    int64_t take = buf_len - (pad + n);
+    if (take > pad) take = pad;
+    for (int64_t i = 0; i < take; ++i) row[pad + n + i] = x[n - 2 - i];
+
+    *n_out = (int32_t)n;
+    *sr_out = fi.sample_rate;
     return 0;
 }
 
@@ -160,6 +434,14 @@ void scan_wavs(const char** paths, int n_files, int32_t* n_out,
                     // read; the declared size field is authoritative
                     n_out[i] = (int32_t)w.n_declared;
                     sr_out[i] = w.sample_rate;
+                    status[i] = 0;
+                    continue;
+                }
+                FlacInfo fi = parse_flac_header(hdr, (int64_t)got);
+                if (fi.ok && fi.channels == 1 && fi.bits == 16 &&
+                    fi.total_samples > 0 && fi.total_samples < (1LL << 31)) {
+                    n_out[i] = (int32_t)fi.total_samples;
+                    sr_out[i] = fi.sample_rate;
                     status[i] = 0;
                 } else {
                     status[i] = -1;

@@ -213,7 +213,7 @@ class InferenceEngine:
 
     def __init__(self, model, params, state, ms: MsConfig, batch_size: int = 32,
                  mesh=None, num_workers: int = 8, precision: str = "default",
-                 pallas_mel: bool = False, fuse_pass: bool = False,
+                 pallas_mel: bool | None = None, fuse_pass: bool = False,
                  cache_mb: int = 512):
         self.model = model
         self.ms = ms
@@ -235,8 +235,13 @@ class InferenceEngine:
             precision = "highest"
         self.precision = precision or "default"
         # fused Pallas DFT->mel kernel (VMEM-resident re/im; ~8x less HBM
-        # traffic in the front-end). Off by default; see ops/pallas_mel.py
-        self.pallas_mel = pallas_mel
+        # traffic in the front-end). Default ON for TPU backends — measured
+        # 16,696 vs 10,247 audio-s/s/chip cached steady state on v5e (see
+        # BASELINE.md A/B table); CPU backends use the XLA einsum path
+        # (the kernel would only run interpreted there).
+        if pallas_mel is None:
+            pallas_mel = jax.devices()[0].platform == "tpu"
+        self.pallas_mel = bool(pallas_mel)
         # fuse_pass: compile an entire predict pass (every bucket batch) into
         # ONE executable fed by ONE flat upload -> 3 RPCs per pass. Output-
         # identical to the unfused path. On THIS relay rig the unfused

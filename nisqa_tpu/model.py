@@ -161,11 +161,16 @@ class NisqaTPU:
         self.ds_val = self._mk_ds(df, None, os.path.dirname(deg), "deg", "predict_only")
 
     def _load_dir(self):
-        files = sorted(glob(os.path.join(self.args["data_dir"], "*.wav")))
+        # the reference globs *.wav only (`NISQA_model.py:745-777`); *.flac is
+        # additionally accepted since the decoder supports it natively
+        files = sorted(
+            glob(os.path.join(self.args["data_dir"], "*.wav"))
+            + glob(os.path.join(self.args["data_dir"], "*.flac"))
+        )
         df = pd.DataFrame([os.path.basename(f) for f in files], columns=["deg"])
         print(f"# files: {len(df)}")
         if len(df) == 0:
-            raise ValueError("No wav files found in data_dir")
+            raise ValueError("No wav/flac files found in data_dir")
         self.ds_val = self._mk_ds(df, None, self.args["data_dir"], "deg", "predict_only")
 
     def _load_csv_predict(self):

@@ -36,16 +36,34 @@ def _mel_kernel(frames_ref, w_re_ref, w_im_ref, fb_ref, out_ref):
     out_ref[:] += jnp.dot(mag, fb_ref[:], preferred_element_type=jnp.float32)
 
 
-def fused_dft_mel(frames, w_re, w_im, fb_kt, tile_f: int = 256, tile_k: int = 512):
+def fused_dft_mel(frames, w_re, w_im, fb_kt, tile_f: int | None = None,
+                  tile_k: int | None = None, vmem_budget: int = 8 << 20):
     """frames: (N, span) f32; w_re/w_im: (span, K); fb_kt: (K, M).
 
     Returns mel (N, M) f32 == |frames @ (w_re + i w_im)| @ fb_kt.
-    N must be a multiple of 8; K a multiple of tile_k (pad with zero
-    columns); M <= 128 recommended (one lane tile).
+    N must be a multiple of 8; K a multiple of 128 (pad with zero columns);
+    M <= 128 recommended (one lane tile).
+
+    Tile sizes auto-shrink to fit ``vmem_budget`` (double-buffered blocks +
+    headroom for the output, which XLA may also place in VMEM): large spans
+    (e.g. the 48 kHz / 20 ms window = 1440 samples) blow the 16 MB scoped
+    VMEM limit at the 256x512 default, observed on the TTS geometry.
     """
     n, span = frames.shape
     k_total = w_re.shape[1]
     m = fb_kt.shape[1]
+
+    if tile_f is None or tile_k is None:
+        tile_f, tile_k = 256, 512
+
+        def est(tf, tk):
+            # double-buffered VMEM bytes of all blocks
+            return 2 * 4 * (tf * span + 2 * span * tk + tk * m + tf * m)
+
+        while est(tile_f, tile_k) > vmem_budget and tile_k > 128:
+            tile_k //= 2
+        while est(tile_f, tile_k) > vmem_budget and tile_f > 64:
+            tile_f //= 2
     assert k_total % tile_k == 0, "pad DFT bins to a tile_k multiple"
     grid = (pl.cdiv(n, tile_f), k_total // tile_k)
 

@@ -145,6 +145,48 @@ def test_truncated_flac_raises(tmp_path):
         read_flac(p)
 
 
+@pytest.mark.parametrize("kw", [{}, {"predictor": "lpc"}, {"partition_order": 2},
+                                {"escape": True}],
+                         ids=["fixed", "lpc", "partitions", "escape"])
+def test_native_flac_decode_matches_python(tmp_path, kw):
+    """The C++ loader's FLAC path (scan + batch fill) must reproduce the
+    Python decoder bit-for-bit, including the reflect padding layout."""
+    from nisqa_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native loader unavailable")
+
+    sr, n = 16000, 50000
+    y = _signal(n, sr=sr, seed=8)
+    p = str(tmp_path / "n.flac")
+    write_flac(p, y, sr, **kw)
+
+    ns, srs, status = native.scan_wavs([p], n_threads=1)
+    assert status[0] == 0 and ns[0] == n and srs[0] == sr
+
+    pad = 2048
+    buf = np.zeros((1, pad + n + pad), np.int16)
+    ns2, srs2, status2 = native.fill_batch_i16([p], buf, pad, n_threads=1)
+    assert status2[0] == 0 and ns2[0] == n and srs2[0] == sr
+
+    pcm = read_flac_pcm16_mono(p)[0]
+    np.testing.assert_array_equal(buf[0, pad : pad + n], pcm)
+    # reflect pads
+    np.testing.assert_array_equal(buf[0, :pad], pcm[pad:0:-1])
+    np.testing.assert_array_equal(buf[0, pad + n :], pcm[n - 2 : n - 2 - pad : -1])
+
+
+def test_native_scan_rejects_stereo_flac(tmp_path):
+    from nisqa_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native loader unavailable")
+    p = str(tmp_path / "st.flac")
+    write_flac(p, _signal(8000, stereo=True), 16000, mode="mid-side")
+    ns, srs, status = native.scan_wavs([p], n_threads=1)
+    assert status[0] != 0  # falls back to the Python float path
+
+
 def test_engine_predicts_flac_same_as_wav(tmp_path):
     """Full pipeline: predict a small corpus stored as FLAC and as WAV with
     released nisqa.tar weights — identical outputs (i16 transport both)."""
