@@ -240,7 +240,10 @@ class InferenceEngine:
         # BASELINE.md A/B table); CPU backends use the XLA einsum path
         # (the kernel would only run interpreted there).
         if pallas_mel is None:
-            pallas_mel = jax.devices()[0].platform == "tpu"
+            # auto: single-device TPU only — pallas_call is not auto-
+            # partitionable, so batches sharded over a mesh keep the XLA
+            # einsum front-end (explicitly passing pallas_mel=True overrides)
+            pallas_mel = mesh is None and jax.devices()[0].platform == "tpu"
         self.pallas_mel = bool(pallas_mel)
         # fuse_pass: compile an entire predict pass (every bucket batch) into
         # ONE executable fed by ONE flat upload -> 3 RPCs per pass. Output-

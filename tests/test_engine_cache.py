@@ -123,6 +123,36 @@ def test_fused_cached_pass_matches(tmp_path):
     np.testing.assert_array_equal(y1, y2)
 
 
+def test_cache_double_ended(tmp_path, monkeypatch):
+    """DE corpora cache both deg and ref batches; ref-file changes invalidate."""
+    from nisqa_tpu.compat.torch_ckpt import load_model_from_tar
+    from nisqa_tpu.data.pipeline import InferenceEngine, MsConfig
+    from tests.test_e2e_de_eval import _make_de_ckpt
+
+    names = _write_corpus(tmp_path, n=6)
+    paths = [str(tmp_path / n) for n in names[:3]]
+    refs = [str(tmp_path / n) for n in names[3:]]
+    ckpt = _make_de_ckpt(tmp_path)
+    model, params, state, args = load_model_from_tar(ckpt)
+    eng = InferenceEngine(model, params, state, MsConfig(args), batch_size=2,
+                          num_workers=1, cache_mb=256)
+    y1 = eng.predict_paths(paths, refs)
+    assert len(eng._corpus_cache) == 1
+
+    def boom(*a, **k):
+        raise AssertionError("scan_transport called on a cache hit")
+
+    monkeypatch.setattr(eng, "_scan_transport", boom)
+    y2 = eng.predict_paths(paths, refs)
+    np.testing.assert_array_equal(y1, y2)
+    monkeypatch.undo()
+    # touching a REF file must invalidate the fingerprint
+    os.utime(refs[0], ns=(time.time_ns(), time.time_ns() + 10_000_000))
+    y3 = eng.predict_paths(paths, refs)
+    np.testing.assert_allclose(y3, y1, atol=1e-6)  # same audio, recomputed
+    assert len(eng._corpus_cache) == 2  # new fingerprint entry
+
+
 def test_cache_with_mesh_predict(tmp_path):
     """Cached sharded batches reload correctly under a data mesh."""
     from nisqa_tpu.parallel.mesh import make_mesh
