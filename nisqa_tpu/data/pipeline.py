@@ -260,6 +260,8 @@ class InferenceEngine:
         self.cache_mb = float(cache_mb)
         self._corpus_cache = {}
         self._cache_bytes = 0
+        # serving stats: cumulative counters + last-pass breakdown
+        self.stats = {"passes": 0, "files": 0, "cache_hits": 0, "last": None}
         self._pipelines = {}
         self._buf_lens = {}
         self._consts = {}
@@ -555,9 +557,14 @@ class InferenceEngine:
         All regimes produce identical outputs. ``fetch=False`` blocks on
         completion and returns None (see :meth:`warmup`).
         """
+        import time
+
         N = len(paths)
+        if N == 0:
+            return np.zeros((0, 5 if self.model.dim else 1), np.float32) if fetch else None
         de = self.model.double_ended
         bs = self.batch_size
+        t0 = time.perf_counter()
 
         fp = self._fingerprint(paths, paths_ref)
         hit = self._corpus_cache.pop(fp, None) if fp is not None else None
@@ -566,16 +573,20 @@ class InferenceEngine:
             if hit["mode"] == "fused":
                 all_dev = hit["jitted"](self.params, self.state, hit["consts"],
                                         hit["flat"], hit["ns"])
-                return self._collect_fused(all_dev, hit["plan"], N, fetch)
-            pending = [
-                (chunk, self._pipeline(*gkey)(self.params, self.state, *args))
-                for gkey, chunk, args in hit["batches"]
-            ]
-            return self._collect(pending, N, fetch)
+                out = self._collect_fused(all_dev, hit["plan"], N, fetch)
+            else:
+                pending = [
+                    (chunk, self._pipeline(*gkey)(self.params, self.state, *args))
+                    for gkey, chunk, args in hit["batches"]
+                ]
+                out = self._collect(pending, N, fetch)
+            self._note_pass("cached", N, len(hit["plan"]), t0, t0, time.perf_counter())
+            return out
 
         audio = self._scan_transport(paths)
         audio_ref = self._scan_transport(paths_ref) if de else None
         plan = self._plan_for(self._metas_for(audio, audio_ref))
+        t_plan = time.perf_counter()
 
         self._batch_ordinal = 0
         caching = fp is not None
@@ -602,7 +613,9 @@ class InferenceEngine:
                     "bytes": flat_in.nbytes + ns_in.nbytes,
                 })
             all_dev = jitted(self.params, self.state, consts_tuple, flat_in, ns_in)
-            return self._collect_fused(all_dev, plan, N, fetch)
+            out = self._collect_fused(all_dev, plan, N, fetch)
+            self._note_pass("fused", N, len(plan), t0, t_plan, time.perf_counter())
+            return out
 
         # Dispatch each batch as soon as it is filled: jit's async transfer
         # and execution overlap the next batch's host fill. (Constant-free
@@ -629,7 +642,25 @@ class InferenceEngine:
                 "mode": "batches", "plan": plan, "batches": cached_batches,
                 "bytes": sum(a.nbytes for _, _, args in cached_batches for a in args),
             })
-        return self._collect(pending, N, fetch)
+        out = self._collect(pending, N, fetch)
+        self._note_pass("interleaved", N, len(plan), t0, t_plan, time.perf_counter())
+        return out
+
+    def _note_pass(self, mode, n_files, n_batches, t0, t_plan, t_end):
+        """Serving observability: cumulative + last-pass engine statistics
+        (the reference's only telemetry is tqdm/verbose prints; SURVEY §5)."""
+        s = self.stats
+        s["passes"] += 1
+        s["files"] += n_files
+        s["cache_hits"] += 1 if mode == "cached" else 0
+        s["last"] = {
+            "mode": mode,
+            "files": n_files,
+            "batches": n_batches,
+            "wall_s": round(t_end - t0, 4),
+            # decode+scan+plan host time; zero on cache hits
+            "host_prep_s": round(t_plan - t0, 4),
+        }
 
     def _collect(self, pending, N, fetch):
         if not fetch:

@@ -63,6 +63,9 @@ def test_cache_hit_identical_and_skips_decode(tmp_path, monkeypatch):
     monkeypatch.setattr(eng, "_scan_transport", boom)
     y2 = eng.predict_paths(paths)
     np.testing.assert_array_equal(y1, y2)
+    assert eng.stats["passes"] == 2 and eng.stats["cache_hits"] == 1
+    assert eng.stats["last"]["mode"] == "cached"
+    assert eng.stats["last"]["files"] == 5
 
 
 def test_cache_invalidates_on_file_change(tmp_path):
