@@ -229,8 +229,10 @@ def _decode_subframe(br, blocksize, bps):
     return x
 
 
-def decode_flac(data: bytes):
-    """Decode a FLAC stream -> (pcm int32 (n, channels), sample_rate, bits)."""
+def parse_streaminfo(data: bytes):
+    """Walk the metadata blocks -> (sample_rate, channels, bits, total_samples,
+    first_frame_offset). Cheap (header-only) — used to reject non-16-bit-mono
+    streams before paying for a full decode."""
     if data[:4] != b"fLaC":
         raise FlacFormatError("not a FLAC stream (missing fLaC magic)")
     pos = 4
@@ -254,14 +256,26 @@ def decode_flac(data: bytes):
             break
     if streaminfo is None:
         raise FlacFormatError("missing STREAMINFO block")
-    sr0, n_ch0, bits0, total = streaminfo
+    return streaminfo + (pos,)
+
+
+def decode_flac(data: bytes):
+    """Decode a FLAC stream -> (pcm int32 (n, channels), sample_rate, bits)."""
+    sr0, n_ch0, bits0, total, pos = parse_streaminfo(data)
 
     chunks = []
     n_done = 0
     while pos < len(data):
         br = _BitReader(data, pos)
-        sync = br.read_uint(14)
+        try:
+            sync = br.read_uint(14)
+        except FlacFormatError:
+            if total and n_done < total:
+                raise  # declared-length stream truncated mid-frame
+            break
         if sync != 0x3FFE:
+            if total == 0 and chunks:
+                break  # unknown-length stream: trailing non-frame bytes
             raise FlacFormatError(f"bad frame sync at byte {pos}")
         br.read_uint(1)  # reserved
         br.read_uint(1)  # blocking strategy
@@ -352,9 +366,12 @@ def read_flac_pcm16_mono(path: str):
     16-bit mono FLAC, or None (caller falls back to read_flac)."""
     with open(path, "rb") as f:
         data = f.read()
-    pcm, sr, bits = decode_flac(data)
-    if bits != 16 or pcm.shape[1] != 1:
+    # header-only gate: don't pay for a full decode just to discover the
+    # stream is stereo/24-bit and decode it AGAIN in the float fallback
+    _, channels, bits, _, _ = parse_streaminfo(data)
+    if bits != 16 or channels != 1:
         return None
+    pcm, sr, _ = decode_flac(data)
     return pcm[:, 0].astype(np.int16), sr
 
 

@@ -138,9 +138,17 @@ def _front_end(ms: MsConfig, sr: int, t_bucket: int, frame_chunk: int = 256,
         if pallas_mel:
             from ..ops.pallas_mel import fused_dft_mel
 
-            mel = fused_dft_mel(
-                frames.reshape(B * n_frames_max, -1), w_re, w_im, fb_t
-            ).reshape(B, n_frames_max, ms.n_mels)
+            # the kernel wants a sublane-aligned row count (N % 8 == 0);
+            # bs=1 with an odd frames_for_bucket violates it, so zero-pad
+            # rows and slice (zero frames cost one extra tile at most)
+            nf = B * n_frames_max
+            fr = frames.reshape(nf, -1)
+            row_pad = (-nf) % 8
+            if row_pad:
+                fr = jnp.pad(fr, ((0, row_pad), (0, 0)))
+            mel = fused_dft_mel(fr, w_re, w_im, fb_t)[:nf].reshape(
+                B, n_frames_max, ms.n_mels
+            )
         else:
             re = jnp.einsum("bfs,sk->bfk", frames, w_re, precision=lax.Precision.HIGHEST)
             im = jnp.einsum("bfs,sk->bfk", frames, w_im, precision=lax.Precision.HIGHEST)

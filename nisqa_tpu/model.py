@@ -96,15 +96,24 @@ class NisqaTPU:
         # cache the engine so compiled pipelines survive across epochs;
         # params/state are refreshed on every call
         if getattr(self, "_engine_cache", None) is None:
+            args = self.args
             self._engine_cache = InferenceEngine(
                 self.model,
                 self.params,
                 self.state,
                 self.ms,
-                batch_size=int(self.args.get(bs_key) or 1),
+                batch_size=int(args.get(bs_key) or 1),
                 mesh=self.mesh,
-                num_workers=int(self.args.get("tr_num_workers") or 8),
+                num_workers=int(args.get("tr_num_workers") or 8),
                 precision=self._default_precision(),
+                # engine tuning surface (absent from the reference; defaults
+                # are the measured-best configuration — BASELINE.md)
+                pallas_mel=args.get("pallas_mel"),
+                fuse_pass=bool(args.get("fuse_pass")),
+                # null-tolerant like the other args (`serving_cache_mb: null`
+                # keeps the default; explicit 0 disables the cache)
+                cache_mb=(512 if args.get("serving_cache_mb") is None
+                          else args["serving_cache_mb"]),
             )
         else:
             self._engine_cache.update_params(self.params, self.state)

@@ -134,6 +134,21 @@ def test_unsupported_formats_raise_actionable_errors(tmp_path):
             wavio.read_wav_pcm16_mono(p)
 
 
+def test_unknown_total_samples_stream(tmp_path):
+    """STREAMINFO with total_samples=0 (streamed encodes) must decode all
+    frames and stop cleanly at end of data."""
+    y = _signal(10000, seed=6)
+    p = str(tmp_path / "u.flac")
+    write_flac(p, y, 16000)
+    blob = bytearray(open(p, "rb").read())
+    # zero the 36-bit total-samples field (STREAMINFO body bytes 13..17)
+    blob[8 + 13] &= 0xF0
+    for i in range(14, 18):
+        blob[8 + i] = 0
+    pcm, sr, bits = decode_flac(bytes(blob))
+    np.testing.assert_array_equal(pcm[:, 0], _as_pcm16(y))
+
+
 def test_truncated_flac_raises(tmp_path):
     p = str(tmp_path / "trunc.flac")
     y = _signal(8000)
