@@ -54,13 +54,19 @@ class TrainEngine:
         self.ms = runner.ms
         self.loss_weight = float(loss_weight)
         self.opt = optax.scale_by_adam()
-        self._fe_cache = {}
         self._step_cache = {}
         self.opt_state = self.opt.init(runner.params)
         # tr_ds_to_memory analog (`NISQA_lib.py:2109-2127`): the reference
         # caches mel specs in RAM; decoded audio is the cheaper equivalent
         # here since the front-end runs on-device
         self._audio_cache = {} if runner.args.get("tr_ds_to_memory") else None
+        # device-resident corpus (train analog of the serving engine's corpus
+        # cache): per sample rate, ONE (N, buf_len) array uploaded once;
+        # batches gather rows on device. Gated on tr_ds_to_memory, capped by
+        # tr_device_cache_mb (falls back to per-batch host fill when over).
+        self._dev_corpus = None
+        self._dev_corpus_key = None
+        self._dev_cache_mb = float(runner.args.get("tr_device_cache_mb") or 1024)
         # data-parallel training over the device mesh (the TPU-native
         # replacement for the reference's nn.DataParallel wrap,
         # `NISQA_model.py:88-89,239-240`): batches shard over 'data',
@@ -105,25 +111,31 @@ class TrainEngine:
             self._audio_cache[key] = entries
         return entries
 
-    # -- feature extraction (jitted per (sr, bucket, B)) ---------------------
+    # -- train step (front-end + fwd/bwd/Adam in ONE program) -----------------
 
-    def _fe(self, sr, bucket, kind="f32"):
-        key = (sr, bucket, kind)
-        if key not in self._fe_cache:
-            from ..data.pipeline import front_end_consts
+    def _step(self, n_targets, sr, bucket, kind, de, gather=False):
+        """One jitted program per (targets, sr, bucket, transport, de): audio
+        buffers -> mel -> segments -> forward/backward -> Adam update. Fusing
+        the front-end into the step halves dispatches per batch and keeps the
+        (B, T, 48, 15) segment tensor out of HBM round trips between
+        programs. Front-end tables travel as arguments (consts pytree) — an
+        embedded array constant would poison the relay link
+        (docs/RELAY_NOTES.md).
 
-            fn, buf_len = _front_end(self.ms, sr, bucket, transport=kind)
-            consts = jax.device_put(front_end_consts(self.ms, sr, kind))
-            jitted = jax.jit(fn)
-            call = lambda audio, n, _f=jitted, _c=consts: _f(_c, audio, n)
-            self._fe_cache[key] = (call, buf_len)
-        return self._fe_cache[key]
+        ``gather=True`` is the device-resident-corpus variant: instead of
+        per-batch audio buffers the step receives the whole corpus (one
+        (N, buf_len) device array per sample rate, uploaded once) plus a
+        (B,) row-index vector, and the batch is assembled ON DEVICE with a
+        single small-index take. Epochs after the upload do zero audio
+        host->device transfers — the training analog of the serving engine's
+        corpus cache (reference `_to_memory`, `NISQA_lib.py:2109-2127`)."""
+        key = (n_targets, sr, bucket, kind, de, gather)
+        if key in self._step_cache:
+            return self._step_cache[key]
+        from ..data.pipeline import front_end_consts
 
-    # -- train step -----------------------------------------------------------
-
-    def _step(self, n_targets):
-        if n_targets in self._step_cache:
-            return self._step_cache[n_targets]
+        fe, buf_len = _front_end(self.ms, sr, bucket, transport=kind)
+        consts = jax.device_put(front_end_consts(self.ms, sr, kind))
         model = self.model
         opt = self.opt
         loss_weight = self.loss_weight
@@ -134,10 +146,27 @@ class TrainEngine:
         precision = self.runner.args.get("tr_precision") or "highest"
 
         @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=())
-        def step(params, opt_state, bn_state, segs, n_wins, y, bias_b, row_valid, lr, rng):
+        def step(params, opt_state, bn_state, fe_consts, y, bias_b, row_valid,
+                 lr, rng, *audio_args):
             with jax.default_matmul_precision(precision):
-                return _step_body(params, opt_state, bn_state, segs, n_wins, y, bias_b,
-                                  row_valid, lr, rng)
+                if gather:
+                    # audio_args: (corpus, ids, ns[, corpus_r, ids_r, ns_r])
+                    a0 = jnp.take(audio_args[0], audio_args[1], axis=0)
+                    pairs = [(a0, audio_args[2])]
+                    if de:
+                        a1 = jnp.take(audio_args[3], audio_args[4], axis=0)
+                        pairs.append((a1, audio_args[5]))
+                else:
+                    pairs = [(audio_args[0], audio_args[1])]
+                    if de:
+                        pairs.append((audio_args[2], audio_args[3]))
+                segs, n_wins = fe(fe_consts, *pairs[0])
+                if de:
+                    segs_r, n_wins_r = fe(fe_consts, *pairs[1])
+                    segs = jnp.stack([segs, segs_r], axis=2)
+                    n_wins = jnp.stack([n_wins, n_wins_r], axis=1)
+                return _step_body(params, opt_state, bn_state, segs, n_wins, y,
+                                  bias_b, row_valid, lr, rng)
 
         def _step_body(params, opt_state, bn_state, segs, n_wins, y, bias_b, row_valid, lr, rng):
             def loss_fn(p):
@@ -164,8 +193,115 @@ class TrainEngine:
             params = jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
             return params, opt_state, new_bn, loss, y_hat
 
-        self._step_cache[n_targets] = step
-        return step
+        def call(params, opt_state, bn_state, y, bias_b, row_valid, lr, rng,
+                 *audio_args, _f=step, _c=consts):
+            return _f(params, opt_state, bn_state, _c, y, bias_b, row_valid,
+                      lr, rng, *audio_args)
+
+        self._step_cache[key] = (call, buf_len)
+        return self._step_cache[key]
+
+    # -- device-resident corpus ------------------------------------------------
+
+    def _audio_f32(self, i, entries, paths, load):
+        e = entries[i]
+        if e[0] == "native":
+            return load(paths[i])[0]
+        if e[0] == "i16":
+            return e[1].astype(np.float32) / 32768.0
+        return e[1]
+
+    def _build_device_corpus(self, paths, entries, paths_ref, entries_ref, de, load):
+        """Upload the whole training corpus to the device once, grouped by
+        sample rate at that rate's max length bucket. Rows are transport-
+        ready audio (reflect-padded, i16 when every file is plain PCM16 mono
+        and the model is single-ended, f32 otherwise). Returns
+        {sr: {rows, n, local, bucket, kind[, rows_ref, n_ref]}} for the srs
+        that fit under tr_device_cache_mb; srs that don't fit simply stay on
+        the per-batch host-fill path."""
+        from ..audio.melspec import pad_audio_for_batch
+
+        ms = self.ms
+        by_sr = {}
+        for i, e in enumerate(entries):
+            by_sr.setdefault(e[2], []).append(i)
+
+        def n_of(e):
+            return e[1] if e[0] == "native" else len(e[1])
+
+        def rep(a):
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                return jax.device_put(a, NamedSharding(self.mesh, P()))
+            return jax.device_put(a)
+
+        budget = int(self._dev_cache_mb * (1 << 20))
+        out = {}
+        for sr, gidx in sorted(by_sr.items()):
+            n_wins_all = [ms.n_wins(ms.n_frames(n_of(entries[i]), sr)) for i in gidx]
+            if de:
+                n_wins_all += [ms.n_wins(ms.n_frames(n_of(entries_ref[i]), sr)) for i in gidx]
+            max_nw = max(n_wins_all)
+            bucket = next(b for b in ms.buckets() if max_nw <= b)
+            kind = ("i16" if not de and all(entries[i][0] == "native" for i in gidx)
+                    else "f32")
+            _, buf_len = _front_end(ms, sr, bucket, transport=kind)
+            itemsize = 2 if kind == "i16" else 4
+            nbytes = len(gidx) * buf_len * itemsize * (2 if de else 1)
+            if nbytes > budget:
+                continue
+
+            def fill(ents, pths):
+                if kind == "i16":
+                    from ..data import native
+
+                    buf = np.zeros((len(gidx), buf_len), dtype=np.int16)
+                    ns, srs, status = native.fill_batch_i16(
+                        [pths[i] for i in gidx], buf, ms.n_fft // 2,
+                        n_threads=max(1, int(self.runner.args.get("tr_num_workers") or 4)),
+                    )
+                    if (status == 0).all():
+                        return buf, ns.astype(np.int32)
+                buf = np.zeros((len(gidx), buf_len), dtype=np.float32)
+                ns = np.zeros((len(gidx),), dtype=np.int32)
+                for j, i in enumerate(gidx):
+                    y = self._audio_f32(i, ents, pths, load)
+                    padded = pad_audio_for_batch(y, ms.n_fft, len(y) + ms.n_fft)
+                    w = min(len(padded), buf_len)
+                    buf[j, :w] = padded[:w]
+                    ns[j] = len(y)
+                return buf, ns
+
+            buf, ns = fill(entries, paths)
+            if buf.dtype == np.float32 and kind == "i16":
+                # rare native-fill race: keep the f32 rows, rebuild consts kind
+                kind = "f32"
+                nbytes = len(gidx) * buf_len * 4
+                if nbytes > budget:
+                    continue
+            entry = {
+                "rows": rep(buf), "n": ns, "bucket": bucket, "kind": kind,
+                "local": {int(i): j for j, i in enumerate(gidx)},
+            }
+            if de:
+                buf_r, ns_r = fill(entries_ref, paths_ref)
+                entry["rows_ref"] = rep(buf_r)
+                entry["n_ref"] = ns_r
+            out[sr] = entry
+            budget -= nbytes
+        return out
+
+    def _device_corpus(self, paths, entries, paths_ref, entries_ref, de, load):
+        if self._audio_cache is None:  # gated on tr_ds_to_memory
+            return {}
+        key = (tuple(paths), tuple(paths_ref) if de else None)
+        if key != self._dev_corpus_key:
+            self._dev_corpus = self._build_device_corpus(
+                paths, entries, paths_ref, entries_ref, de, load
+            )
+            self._dev_corpus_key = key
+        return self._dev_corpus
 
     # -- one epoch -------------------------------------------------------------
 
@@ -179,7 +315,6 @@ class TrainEngine:
         y_all = ds.targets()  # (N, K)
         K = y_all.shape[1]
         N = len(paths)
-        step_fn = self._step(K)
 
         order = np.arange(N)
         if shuffle:
@@ -188,10 +323,16 @@ class TrainEngine:
         entries = self._entries(paths)
         entries_ref = self._entries(paths_ref) if de else None
         engine_load = self._loader()
+        dev_corpus = self._device_corpus(paths, entries, paths_ref, entries_ref,
+                                         de, engine_load)
 
         y_hat_all = np.zeros((N, K), dtype=np.float32)
-        total_loss, n_batches = 0.0, 0
         step_i = 0
+        # per-batch (group, loss, y_hat) with loss/y_hat left ON DEVICE: a
+        # device->host fetch inside the batch loop would serialize host fill
+        # with device work and degrade the relay link mid-epoch (rule 5,
+        # docs/RELAY_NOTES.md) — everything is materialized once at epoch end
+        results = []
 
         pbar = None
         if verbose == 2:
@@ -216,39 +357,32 @@ class TrainEngine:
                 loss, y_hat = self._run_group(
                     g, paths, paths_ref, entries, entries_ref, engine_load,
                     y_all, bias_losses, lr,
-                    jax.random.fold_in(rng_epoch, step_i), step_fn, K, de, kind,
+                    jax.random.fold_in(rng_epoch, step_i), K, de, kind,
+                    dev_corpus.get(sr),
                 )
-                y_hat_all[g] = y_hat
-                total_loss += loss
-                n_batches += 1
+                results.append((g, loss, y_hat))
                 step_i += 1
             if pbar is not None:
-                pbar.set_postfix(loss=loss)
+                # the live loss display costs one tiny fetch per batch; only
+                # at tr_verbose=2 (reference parity: tqdm postfix)
+                pbar.set_postfix(loss=float(loss))
                 pbar.update()
 
         if pbar is not None:
             pbar.close()
-        return total_loss / max(n_batches, 1), y_hat_all
+        total_loss = 0.0
+        for g, loss, y_hat in results:
+            y_hat_all[g] = np.asarray(y_hat)[: len(g)]
+            total_loss += float(loss)
+        return total_loss / max(len(results), 1), y_hat_all
 
     def _run_group(self, idx, paths, paths_ref, entries, entries_ref, load,
-                   y_all, bias_losses, lr, rng, step_fn, K, de, kind):
+                   y_all, bias_losses, lr, rng, K, de, kind, dc=None):
         from ..audio.melspec import pad_audio_for_batch
 
         ms = self.ms
         runner = self.runner
         sr = entries[idx[0]][2]
-
-        def n_of(e):
-            return e[1] if e[0] == "native" else len(e[1])
-
-        def n_wins_of(n_samples):
-            return ms.n_wins(ms.n_frames(n_samples, sr))
-
-        max_nw = max(n_wins_of(n_of(entries[i])) for i in idx)
-        if de:
-            max_nw = max(max_nw, max(n_wins_of(n_of(entries_ref[i])) for i in idx))
-        bucket = next(b for b in ms.buckets() if max_nw <= b)
-        fe, buf_len = self._fe(sr, bucket, kind)
 
         n_real = len(idx)
         # with a mesh, the batch axis must divide the device count: pad
@@ -261,13 +395,35 @@ class TrainEngine:
             n_dev = self.mesh.size
             B = -(-n_real // n_dev) * n_dev
 
+        def shard(a):
+            return jax.device_put(a, self._data_sharding) if self._data_sharding is not None else a
+
+        if dc is not None:
+            # device-resident corpus: batch rows gathered on device by a
+            # (B,) index vector — no audio decode, no audio upload. The
+            # corpus-wide bucket pads time; front-end + masked BN make the
+            # result identical to the per-batch-bucket path
+            # (tests/test_train_device_cache.py).
+            kind, bucket = dc["kind"], dc["bucket"]
+            step_fn, _ = self._step(K, sr, bucket, kind, de, gather=True)
+            ids = np.array([dc["local"][int(i)] for i in idx], np.int32)
+            if B > n_real:
+                ids = np.concatenate([ids, np.repeat(ids[:1], B - n_real)])
+            ns = dc["n"][ids]
+            audio_args = [dc["rows"], shard(ids), shard(ns)]
+            if de:
+                audio_args += [dc["rows_ref"], shard(ids), shard(dc["n_ref"][ids])]
+        else:
+            audio_args = None
+
+        def n_of(e):
+            return e[1] if e[0] == "native" else len(e[1])
+
+        def n_wins_of(n_samples):
+            return ms.n_wins(ms.n_frames(n_samples, sr))
+
         def audio_f32(i, ents, pths):
-            e = ents[i]
-            if e[0] == "native":
-                return load(pths[i])[0]
-            if e[0] == "i16":
-                return e[1].astype(np.float32) / 32768.0
-            return e[1]
+            return self._audio_f32(i, ents, pths, load)
 
         def fill_f32(ents, pths):
             buf = np.zeros((B, buf_len), dtype=np.float32)
@@ -297,21 +453,23 @@ class TrainEngine:
                 n[j] = n[0]
             return buf, n
 
-        def shard(a):
-            return jax.device_put(a, self._data_sharding) if self._data_sharding is not None else a
+        if audio_args is None:
+            max_nw = max(n_wins_of(n_of(entries[i])) for i in idx)
+            if de:
+                max_nw = max(max_nw, max(n_wins_of(n_of(entries_ref[i])) for i in idx))
+            bucket = next(b for b in ms.buckets() if max_nw <= b)
+            step_fn, buf_len = self._step(K, sr, bucket, kind, de)
 
-        filled = fill_i16(paths) if kind == "i16" else None
-        if filled is None:
-            kind = "f32"
-            fe, buf_len = self._fe(sr, bucket, "f32")
-            filled = fill_f32(entries, paths)
-        buf_d, n_d = filled
-        segs, n_wins = fe(shard(buf_d), shard(n_d))
-        if de:
-            buf_r, n_r = fill_f32(entries_ref, paths_ref)
-            segs_r, n_wins_r = fe(shard(buf_r), shard(n_r))
-            segs = jnp.stack([segs, segs_r], axis=2)
-            n_wins = jnp.stack([n_wins, n_wins_r], axis=1)
+            filled = fill_i16(paths) if kind == "i16" else None
+            if filled is None:
+                kind = "f32"
+                step_fn, buf_len = self._step(K, sr, bucket, "f32", de)
+                filled = fill_f32(entries, paths)
+            buf_d, n_d = filled
+            audio_args = [shard(buf_d), shard(n_d)]
+            if de:
+                buf_r, n_r = fill_f32(entries_ref, paths_ref)
+                audio_args += [shard(buf_r), shard(n_r)]
 
         y = y_all[idx]  # (n_real, K)
         bias_b = np.stack([bl.coeffs(idx) for bl in bias_losses], axis=1)  # (n_real, K, 4)
@@ -324,11 +482,11 @@ class TrainEngine:
         row_valid = np.arange(B) < n_real
         params, self.opt_state, bn_state, loss, y_hat = step_fn(
             runner.params, self.opt_state, runner.state,
-            segs, n_wins, shard(jnp.asarray(y)), shard(jnp.asarray(bias_b)),
-            shard(jnp.asarray(row_valid)), jnp.float32(lr), rng,
+            shard(jnp.asarray(y)), shard(jnp.asarray(bias_b)),
+            shard(jnp.asarray(row_valid)), jnp.float32(lr), rng, *audio_args,
         )
         runner.params, runner.state = params, bn_state
-        return float(loss), np.asarray(y_hat)[:n_real]
+        return loss, y_hat  # device arrays; fetched at epoch end (run_epoch)
 
 
 # ---------------------------------------------------------------------------
