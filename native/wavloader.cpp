@@ -386,6 +386,154 @@ int fill_row_flac(const char* path, int16_t* row, int64_t buf_len, int64_t pad,
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Generic WAV decode -> float32 rows (the transport for everything that is
+// not plain PCM16 mono: 8/24/32-bit int, IEEE float 32/64, multi-channel).
+// Mirrors the numpy reference decoder (nisqa_tpu/audio/wav.py::read_wav)
+// operation-for-operation so the rows are bit-identical: per-sample integer
+// -> float32 conversion FIRST, then float32 channel mean (librosa semantics).
+// ---------------------------------------------------------------------------
+
+struct WavFmtAny {
+    uint16_t fmt = 0, channels = 0, bits = 0;
+    uint32_t rate = 0;
+    int64_t data_off = -1;
+    int64_t data_declared = 0;
+    bool parsed = false;
+};
+
+WavFmtAny parse_wav_any(const uint8_t* buf, int64_t len) {
+    WavFmtAny out;
+    if (len < 44 || memcmp(buf, "RIFF", 4) != 0 || memcmp(buf + 8, "WAVE", 4) != 0)
+        return out;
+    int64_t pos = 12;
+    bool have_fmt = false;
+    while (pos + 8 <= len) {
+        const uint8_t* cid = buf + pos;
+        uint32_t size;
+        memcpy(&size, buf + pos + 4, 4);
+        int64_t data_off = pos + 8;
+        if (memcmp(cid, "fmt ", 4) == 0 && data_off + 16 <= len) {
+            memcpy(&out.fmt, buf + data_off, 2);
+            memcpy(&out.channels, buf + data_off + 2, 2);
+            memcpy(&out.rate, buf + data_off + 4, 4);
+            memcpy(&out.bits, buf + data_off + 14, 2);
+            if (out.fmt == 0xFFFE && size >= 40)  // WAVE_FORMAT_EXTENSIBLE
+                memcpy(&out.fmt, buf + data_off + 24, 2);
+            have_fmt = true;
+        } else if (memcmp(cid, "data", 4) == 0) {
+            out.data_off = data_off;
+            out.data_declared = (int64_t)size;
+            out.parsed = have_fmt;
+            return out;
+        }
+        pos = data_off + size + (size & 1);
+    }
+    return out;
+}
+
+// true when fill_row_f32 can decode this header
+bool f32_decodable(const WavFmtAny& w) {
+    if (!w.parsed || w.channels < 1 || w.channels > 64) return false;
+    if (w.fmt == 1) return w.bits == 8 || w.bits == 16 || w.bits == 24 || w.bits == 32;
+    if (w.fmt == 3) return w.bits == 32 || w.bits == 64;
+    return false;
+}
+
+// Decode one file into a float32 row: [reflect | samples | reflect(clamped)].
+// channel < 0 selects the float32 mean across channels (librosa mono=True);
+// otherwise that channel. FLAC (16-bit mono) is decoded then scaled, so DE
+// pairs that force the f32 transport still ride the native path.
+int fill_row_f32(const char* path, float* row, int64_t buf_len, int64_t pad,
+                 int channel, int32_t* n_out, int32_t* sr_out) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    fseek(f, 0, SEEK_END);
+    long fsize = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> data((size_t)fsize);
+    if (fread(data.data(), 1, (size_t)fsize, f) != (size_t)fsize) { fclose(f); return -1; }
+    fclose(f);
+
+    float* dst = row + pad;
+    int64_t n;
+    int32_t rate;
+
+    if (fsize >= 4 && memcmp(data.data(), "fLaC", 4) == 0) {
+        FlacInfo fi = parse_flac_header(data.data(), fsize);
+        if (!fi.ok || fi.channels != 1 || fi.bits != 16) return -1;
+        if (channel > 0) return -1;
+        n = fi.total_samples;
+        if (n <= pad + 1 || pad + n > buf_len) return -1;
+        std::vector<int16_t> tmp((size_t)n);
+        std::vector<int64_t> scratch;
+        if (decode_flac_mono16(data.data(), fsize, fi, tmp.data(), n, scratch) != n)
+            return -1;
+        for (int64_t i = 0; i < n; ++i) dst[i] = (float)tmp[i] / 32768.0f;
+        rate = fi.sample_rate;
+    } else {
+        WavFmtAny w = parse_wav_any(data.data(), fsize);
+        if (!f32_decodable(w)) return -1;
+        int C = w.channels;
+        if (channel >= C) return -1;
+        int bytes = w.bits / 8;
+        int64_t frame_bytes = (int64_t)C * bytes;
+        int64_t avail = fsize - w.data_off;
+        int64_t dsize = w.data_declared < avail ? w.data_declared : avail;
+        n = dsize / frame_bytes;
+        if (n < pad + 2 || pad + n > buf_len) return -1;
+        const uint8_t* p = data.data() + w.data_off;
+        uint16_t fmt = w.fmt, bits = w.bits;
+
+        auto sample = [&](const uint8_t* q) -> float {
+            if (fmt == 3) {
+                if (bits == 32) { float v; memcpy(&v, q, 4); return v; }
+                double v; memcpy(&v, q, 8); return (float)v;
+            }
+            switch (bits) {
+                case 8:
+                    return ((float)q[0] - 128.0f) / 128.0f;
+                case 16: {
+                    int16_t v; memcpy(&v, q, 2);
+                    return (float)v / 32768.0f;
+                }
+                case 24: {
+                    int32_t v = (int32_t)q[0] | ((int32_t)q[1] << 8) | ((int32_t)q[2] << 16);
+                    if (v & 0x800000) v -= (1 << 24);
+                    return (float)v / 8388608.0f;
+                }
+                default: {  // 32
+                    int32_t v; memcpy(&v, q, 4);
+                    return (float)v / 2147483648.0f;
+                }
+            }
+        };
+
+        if (C == 1 || channel >= 0) {
+            int c = channel < 0 ? 0 : channel;
+            for (int64_t t = 0; t < n; ++t)
+                dst[t] = sample(p + t * frame_bytes + (int64_t)c * bytes);
+        } else {
+            for (int64_t t = 0; t < n; ++t) {
+                const uint8_t* q = p + t * frame_bytes;
+                float acc = 0.0f;
+                for (int c = 0; c < C; ++c) acc += sample(q + (int64_t)c * bytes);
+                dst[t] = acc / (float)C;  // numpy mean: float32 sum, then divide
+            }
+        }
+        rate = (int32_t)w.rate;
+    }
+
+    for (int64_t i = 0; i < pad; ++i) row[i] = dst[pad - i];
+    int64_t take = buf_len - (pad + n);
+    if (take > pad) take = pad;
+    for (int64_t i = 0; i < take; ++i) row[pad + n + i] = dst[n - 2 - i];
+
+    *n_out = (int32_t)n;
+    *sr_out = rate;
+    return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -411,7 +559,86 @@ void fill_batch_i16(const char** paths, int n_files, int16_t* buf,
     for (auto& w : workers) w.join();
 }
 
-// Header-only scan: sample counts + rates for bucketing (status as above).
+// Fill a (batch, buf_len) float32 buffer: any decodable WAV (8/16/24/32-bit
+// PCM, float 32/64, any channel count) plus 16-bit mono FLAC. channel < 0 =
+// float32 channel mean (librosa mono), else that channel index.
+void fill_batch_f32(const char** paths, int n_files, float* buf,
+                    int64_t buf_len, int64_t pad, int channel, int32_t* n_out,
+                    int32_t* sr_out, int32_t* status, int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    std::vector<std::thread> workers;
+    int per = (n_files + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        int lo = t * per;
+        int hi = lo + per < n_files ? lo + per : n_files;
+        if (lo >= hi) break;
+        workers.emplace_back([=]() {
+            for (int i = lo; i < hi; ++i)
+                status[i] = (int32_t)fill_row_f32(paths[i], buf + (int64_t)i * buf_len,
+                                                  buf_len, pad, channel,
+                                                  n_out + i, sr_out + i);
+        });
+    }
+    for (auto& w : workers) w.join();
+}
+
+// Header-only scan with a transport hint. kind_out[i]: 0 = PCM16-mono WAV /
+// 16-bit mono FLAC (raw-int16 transport eligible), 1 = other WAV this
+// library decodes to float32 natively, -1 (with status -1) = Python decode.
+void scan_audio(const char** paths, int n_files, int32_t* n_out,
+                int32_t* sr_out, int32_t* kind_out, int32_t* status,
+                int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    std::vector<std::thread> workers;
+    int per = (n_files + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        int lo = t * per;
+        int hi = lo + per < n_files ? lo + per : n_files;
+        if (lo >= hi) break;
+        workers.emplace_back([=]() {
+            for (int i = lo; i < hi; ++i) {
+                status[i] = -1;
+                kind_out[i] = -1;
+                FILE* f = fopen(paths[i], "rb");
+                if (!f) continue;
+                uint8_t hdr[65536];
+                size_t got = fread(hdr, 1, sizeof(hdr), f);
+                fclose(f);
+                WavData w16 = parse_wav(hdr, (int64_t)got);
+                if (w16.ok) {
+                    n_out[i] = (int32_t)w16.n_declared;
+                    sr_out[i] = w16.sample_rate;
+                    kind_out[i] = 0;
+                    status[i] = 0;
+                    continue;
+                }
+                FlacInfo fi = parse_flac_header(hdr, (int64_t)got);
+                if (fi.ok && fi.channels == 1 && fi.bits == 16 &&
+                    fi.total_samples > 0 && fi.total_samples < (1LL << 31)) {
+                    n_out[i] = (int32_t)fi.total_samples;
+                    sr_out[i] = fi.sample_rate;
+                    kind_out[i] = 0;
+                    status[i] = 0;
+                    continue;
+                }
+                WavFmtAny wa = parse_wav_any(hdr, (int64_t)got);
+                if (f32_decodable(wa)) {
+                    int64_t frames = wa.data_declared /
+                                     ((int64_t)wa.channels * (wa.bits / 8));
+                    if (frames > 0 && frames < (1LL << 31)) {
+                        n_out[i] = (int32_t)frames;
+                        sr_out[i] = (int32_t)wa.rate;
+                        kind_out[i] = 1;
+                        status[i] = 0;
+                    }
+                }
+            }
+        });
+    }
+    for (auto& w : workers) w.join();
+}
+
+// Legacy scan: sample counts + rates for bucketing (status as above).
 void scan_wavs(const char** paths, int n_files, int32_t* n_out,
                int32_t* sr_out, int32_t* status, int n_threads) {
     if (n_threads < 1) n_threads = 1;

@@ -384,12 +384,15 @@ class InferenceEngine:
         out = [None] * len(paths)
         todo = list(range(len(paths)))
         if not ms.sr and ms.channel is None and native.available() and paths:
-            n_s, sr_s, status = native.scan_wavs(paths, n_threads=self.num_workers)
+            n_s, sr_s, kind_s, status = native.scan_audio(paths, n_threads=self.num_workers)
             min_n = ms.n_fft // 2 + 2
             todo = []
             for i in range(len(paths)):
                 if status[i] == 0 and n_s[i] >= min_n:
-                    out[i] = ("native", int(n_s[i]), int(sr_s[i]))
+                    # kind 0: PCM16-mono (raw-int16 transport); kind 1: any
+                    # other WAV the C++ loader decodes straight to f32 rows
+                    tag = "native" if kind_s[i] == 0 else "native_f32"
+                    out[i] = (tag, int(n_s[i]), int(sr_s[i]))
                 else:
                     todo.append(i)
         if todo:
@@ -422,10 +425,12 @@ class InferenceEngine:
         de = self.model.double_ended
 
         def n_of(entry):
-            return entry[1] if entry[0] == "native" else len(entry[1])
+            return entry[1] if entry[0] in ("native", "native_f32") else len(entry[1])
 
         def kind_of(entry):
-            return "i16" if entry[0] == "native" else entry[0]
+            if entry[0] == "native":
+                return "i16"
+            return "f32" if entry[0] == "native_f32" else entry[0]
 
         metas = []
         for i, entry in enumerate(audio):
@@ -817,9 +822,33 @@ class InferenceEngine:
             buf = self._host_buf(("f32", ordinal, id(source) == id(audio_ref)),
                                  (bs, buf_len), np.float32, zero=True)
             n = np.zeros((bs,), dtype=np.int32)
+            native_items = [(j, i) for j, i in enumerate(chunk)
+                            if source[i][0] in ("native", "native_f32")]
+            if native_items and src_paths is not None:
+                from . import native
+
+                # C++ decode straight into the f32 rows (any WAV bit depth /
+                # float / multi-channel, plus PCM16 entries of mixed DE
+                # pairs); bit-identical to the numpy decoder
+                all_native = len(native_items) == len(chunk)
+                target = buf[: len(chunk)] if all_native else np.zeros(
+                    (len(native_items), buf_len), dtype=np.float32
+                )
+                ns, srs, status = native.fill_batch_f32(
+                    [src_paths[i] for _, i in native_items], target, pad,
+                    channel=self.ms.channel, n_threads=self.num_workers,
+                )
+                for row, (j, i) in enumerate(native_items):
+                    if status[row] == 0:
+                        if not all_native:
+                            buf[j] = target[row]
+                        n[j] = ns[row]
+                    else:  # rare race: decode this file in Python below
+                        source[i] = ("f32",) + self._load_audio(src_paths[i])
+
             for j, i in enumerate(chunk):
-                if source[i][0] == "native":  # mixed DE pair: decode as float
-                    source[i] = ("f32",) + self._load_audio(src_paths[i])
+                if source[i][0] in ("native", "native_f32"):
+                    continue  # filled above
                 x = source[i][1]
                 if source[i][0] == "i16":
                     x = x.astype(np.float32) / 32768.0

@@ -205,7 +205,7 @@ class TrainEngine:
 
     def _audio_f32(self, i, entries, paths, load):
         e = entries[i]
-        if e[0] == "native":
+        if e[0] in ("native", "native_f32"):
             return load(paths[i])[0]
         if e[0] == "i16":
             return e[1].astype(np.float32) / 32768.0
@@ -227,7 +227,7 @@ class TrainEngine:
             by_sr.setdefault(e[2], []).append(i)
 
         def n_of(e):
-            return e[1] if e[0] == "native" else len(e[1])
+            return e[1] if e[0] in ("native", "native_f32") else len(e[1])
 
         def rep(a):
             if self.mesh is not None:
@@ -417,7 +417,7 @@ class TrainEngine:
             audio_args = None
 
         def n_of(e):
-            return e[1] if e[0] == "native" else len(e[1])
+            return e[1] if e[0] in ("native", "native_f32") else len(e[1])
 
         def n_wins_of(n_samples):
             return ms.n_wins(ms.n_frames(n_samples, sr))

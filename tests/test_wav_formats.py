@@ -106,4 +106,99 @@ def test_native_scan_rejects_nonpcm16(tmp_path):
     vals = np.array([0.0, 0.25], dtype=np.float32)
     p = _write(tmp_path, "h.wav", _wav_bytes(vals.tobytes(), 3, 1, 44100, 32))
     n, sr, status = native.scan_wavs([p])
-    assert status[0] != 0  # python fallback required
+    assert status[0] != 0  # python fallback required (legacy i16-only scan)
+
+
+def _format_fixtures(tmp_path, n=120, sr=16000):
+    """One file per supported non-PCM16 WAV flavor + a PCM16 mono control."""
+    rng = np.random.default_rng(0)
+    y = (0.5 * np.sin(2 * np.pi * 200 * np.arange(n) / sr)
+         + 0.05 * rng.standard_normal(n)).astype(np.float64)
+    files = []
+    i24 = np.clip(np.round(y * (1 << 23)), -(1 << 23), (1 << 23) - 1).astype(np.int64)
+    files.append(_write(tmp_path, "p24.wav", _wav_bytes(
+        b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in i24), 1, 1, sr, 24)))
+    i32 = np.clip(np.round(y * (1 << 31)), -(1 << 31), (1 << 31) - 1).astype("<i4")
+    files.append(_write(tmp_path, "p32.wav", _wav_bytes(i32.tobytes(), 1, 1, sr, 32)))
+    files.append(_write(tmp_path, "f32.wav", _wav_bytes(
+        y.astype("<f4").tobytes(), 3, 1, sr, 32)))
+    files.append(_write(tmp_path, "f64.wav", _wav_bytes(
+        y.astype("<f8").tobytes(), 3, 1, sr, 64)))
+    u8 = np.clip(np.round(y * 128) + 128, 0, 255).astype(np.uint8)
+    files.append(_write(tmp_path, "p8.wav", _wav_bytes(u8.tobytes(), 1, 1, sr, 8)))
+    st = np.empty(2 * n, dtype="<i2")
+    st[0::2] = np.clip(np.round(y * 32767), -32768, 32767).astype("<i2")
+    st[1::2] = np.clip(np.round(-0.5 * y * 32767), -32768, 32767).astype("<i2")
+    files.append(_write(tmp_path, "st16.wav", _wav_bytes(st.tobytes(), 1, 2, sr, 16, extensible=True)))
+    m16 = np.clip(np.round(y * 32767), -32768, 32767).astype("<i2")
+    files.append(_write(tmp_path, "m16.wav", _wav_bytes(m16.tobytes(), 1, 1, sr, 16)))
+    return files
+
+
+def test_native_f32_fill_matches_python(tmp_path):
+    """C++ f32 batch fill must be bit-identical to the numpy decoder +
+    reflect pad for every supported WAV flavor."""
+    from nisqa_tpu.audio.melspec import pad_audio_for_batch
+    from nisqa_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native loader unavailable")
+    files = _format_fixtures(tmp_path)
+    n_fft, buf_len = 16, 160
+    buf = np.zeros((len(files), buf_len), np.float32)
+    ns, srs, status = native.fill_batch_f32(files, buf, n_fft // 2)
+    assert (status == 0).all(), status
+    for j, p in enumerate(files):
+        y, sr = wavio.read_wav(p)
+        assert srs[j] == sr and ns[j] == len(y)
+        expect = pad_audio_for_batch(y, n_fft, buf_len)
+        # tail past the clamped right reflect is never consumed downstream
+        w = n_fft // 2 + len(y) + min(n_fft // 2, buf_len - (n_fft // 2 + len(y)))
+        np.testing.assert_array_equal(buf[j, :w], expect[:w], err_msg=p)
+
+
+def test_scan_audio_kinds(tmp_path):
+    from nisqa_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native loader unavailable")
+    files = _format_fixtures(tmp_path)
+    ns, srs, kind, status = native.scan_audio(files)
+    assert (status == 0).all()
+    assert kind[-1] == 0  # PCM16 mono control: raw-i16 transport
+    assert (kind[:-1] == 1).all()  # everything else: native f32 decode
+    garbage = _write(tmp_path, "bad.wav", b"junk" * 30)
+    _, _, kind2, status2 = native.scan_audio([garbage])
+    assert status2[0] != 0 and kind2[0] == -1
+
+
+def test_engine_mixed_format_dir_native(tmp_path):
+    """predict over a directory mixing every WAV flavor rides the native
+    scan + f32 fill and matches per-file Python-decoded predictions."""
+    import jax
+
+    from tests.test_e2e import TINY_ARGS, _make_ckpt
+    from nisqa_tpu.model import NisqaTPU
+
+    sr = 8000
+    files = _format_fixtures(tmp_path, n=int(sr * 0.8), sr=sr)
+    ckpt = _make_ckpt(tmp_path)
+    (tmp_path / "out").mkdir()
+    args = {
+        **TINY_ARGS,
+        "mode": "predict_dir",
+        "pretrained_model": ckpt,
+        "data_dir": str(tmp_path),
+        "output_dir": str(tmp_path / "out"),
+        "tr_bs_val": 4,
+        "tr_num_workers": 2,
+    }
+    runner = NisqaTPU(args)
+    df = runner.predict()
+    assert len(df) == len(files)
+    assert np.isfinite(df["mos_pred"].to_numpy()).all()
+    # the engine must have used native entries for every fixture
+    eng = runner._engine()
+    entries = eng._scan_transport(sorted(files))
+    kinds = {e[0] for e in entries}
+    assert kinds <= {"native", "native_f32"} and "native_f32" in kinds
