@@ -172,6 +172,66 @@ def test_scan_audio_kinds(tmp_path):
     assert status2[0] != 0 and kind2[0] == -1
 
 
+def test_native_f32_truncated_file(tmp_path):
+    """Truncated payloads decode the available samples (Python-decoder
+    semantics: the data-size field is clamped to the file); only files left
+    shorter than the reflect pad fail over to the Python path."""
+    from nisqa_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native loader unavailable")
+    y = np.linspace(-0.5, 0.5, 400, dtype=np.float32)
+    p = _write(tmp_path, "t.wav", _wav_bytes(y.tobytes(), 3, 1, 8000, 32))
+    ns, srs, kind, status = native.scan_audio([p])
+    assert status[0] == 0 and kind[0] == 1
+    data = open(p, "rb").read()
+    open(p, "wb").write(data[: len(data) - 1500])  # 25 samples remain
+    buf = np.zeros((1, 600), np.float32)
+    n2, _, st2 = native.fill_batch_f32([p], buf, 8)
+    assert st2[0] == 0 and n2[0] == 25
+    y_py, _ = wavio.read_wav(p)
+    assert len(y_py) == 25
+    np.testing.assert_array_equal(buf[0, 8 : 8 + 25], y_py)
+    # shrink below pad+2 samples: native refuses, engine falls back
+    open(p, "wb").write(data[: 44 + 4 * 4])  # 4 samples < pad+2
+    _, _, st3 = native.fill_batch_f32([p], buf, 8)
+    assert st3[0] != 0
+
+
+def test_scan_audio_fuzz_never_crashes(tmp_path):
+    """Random/mutated headers: the C++ scanner must return a status, never
+    crash, and must never claim kind 0/1 for something the Python decoder
+    rejects outright."""
+    from nisqa_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native loader unavailable")
+    rng = np.random.default_rng(42)
+    paths = []
+    # pure garbage of assorted sizes
+    for k, size in enumerate([0, 1, 3, 11, 44, 100, 4096]):
+        paths.append(_write(tmp_path, f"g{k}.bin", rng.bytes(size)))
+    # a valid wav with bytes randomly flipped
+    good = _wav_bytes(np.zeros(64, "<i2").tobytes(), 1, 1, 8000, 16)
+    for k in range(20):
+        mutated = bytearray(good)
+        for _ in range(rng.integers(1, 6)):
+            mutated[rng.integers(0, len(mutated))] = rng.integers(0, 256)
+        paths.append(_write(tmp_path, f"m{k}.wav", bytes(mutated)))
+    ns, srs, kind, status = native.scan_audio(paths)
+    for i, p in enumerate(paths):
+        if status[i] == 0:
+            # anything the scanner accepts, the Python decoder must parse too
+            try:
+                y, sr = wavio.read_wav(p)
+            except wavio.WavFormatError:
+                # acceptable only if the fill also refuses it (engine falls
+                # back per-file and surfaces the Python error)
+                buf = np.zeros((1, max(16, int(ns[i]) + 16)), np.float32)
+                _, _, st = native.fill_batch_f32([p], buf, 4)
+                assert st[0] != 0, f"{p}: scanner+fill accepted, python rejects"
+
+
 def test_engine_mixed_format_dir_native(tmp_path):
     """predict over a directory mixing every WAV flavor rides the native
     scan + f32 fill and matches per-file Python-decoded predictions."""
