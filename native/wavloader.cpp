@@ -47,9 +47,14 @@ WavData parse_wav(const uint8_t* buf, int64_t len) {
             memcpy(&channels, buf + data_off + 2, 2);
             memcpy(&rate, buf + data_off + 4, 4);
             memcpy(&bits, buf + data_off + 14, 2);
-            if (fmt == 0xFFFE && size >= 40)  // WAVE_FORMAT_EXTENSIBLE
+            // extensible sub-format tag lives at +24..+26: guard on the
+            // BUFFER length, not just the declared chunk size (truncated
+            // headers would read out of bounds otherwise)
+            if (fmt == 0xFFFE && size >= 40 && data_off + 26 <= len)
                 memcpy(&fmt, buf + data_off + 24, 2);
         } else if (memcmp(cid, "data", 4) == 0) {
+            // keep scanning: the Python reference decoder lets a LATER data
+            // chunk win (wav.py::read_wav reassigns `data` per chunk)
             int64_t avail = len - data_off;
             int64_t dsize = (int64_t)size < avail ? (int64_t)size : avail;
             if (fmt == 1 && bits == 16 && channels == 1) {
@@ -58,8 +63,9 @@ WavData parse_wav(const uint8_t* buf, int64_t len) {
                 out.n_declared = (int64_t)size / 2;
                 out.sample_rate = (int32_t)rate;
                 out.ok = 1;
+            } else {
+                out.ok = 0;
             }
-            return out;
         }
         pos = data_off + size + (size & 1);
     }
@@ -418,14 +424,16 @@ WavFmtAny parse_wav_any(const uint8_t* buf, int64_t len) {
             memcpy(&out.channels, buf + data_off + 2, 2);
             memcpy(&out.rate, buf + data_off + 4, 4);
             memcpy(&out.bits, buf + data_off + 14, 2);
-            if (out.fmt == 0xFFFE && size >= 40)  // WAVE_FORMAT_EXTENSIBLE
+            // guard the +24..+26 read on the buffer length (see parse_wav)
+            if (out.fmt == 0xFFFE && size >= 40 && data_off + 26 <= len)
                 memcpy(&out.fmt, buf + data_off + 24, 2);
             have_fmt = true;
         } else if (memcmp(cid, "data", 4) == 0) {
+            // last data chunk wins, matching the Python reference decoder's
+            // chunk loop (wav.py::read_wav reassigns `data` per chunk)
             out.data_off = data_off;
             out.data_declared = (int64_t)size;
             out.parsed = have_fmt;
-            return out;
         }
         pos = data_off + size + (size & 1);
     }

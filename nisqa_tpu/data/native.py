@@ -33,7 +33,13 @@ def _load():
                  or (os.path.exists(src)
                      and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
         if stale:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+            try:
+                subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+            except Exception:
+                # no toolchain / read-only tree: an existing prebuilt .so is
+                # still good — only a MISSING library disables the fast path
+                if not os.path.exists(_LIB_PATH):
+                    raise
         lib = ctypes.CDLL(_LIB_PATH)
         lib.fill_batch_i16.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,

@@ -66,7 +66,9 @@ class TrainEngine:
         # tr_device_cache_mb (falls back to per-batch host fill when over).
         self._dev_corpus = None
         self._dev_corpus_key = None
-        self._dev_cache_mb = float(runner.args.get("tr_device_cache_mb") or 1024)
+        # explicit 0 disables residency (an `or`-default would coerce it)
+        cap = runner.args.get("tr_device_cache_mb")
+        self._dev_cache_mb = 1024.0 if cap is None else float(cap)
         # data-parallel training over the device mesh (the TPU-native
         # replacement for the reference's nn.DataParallel wrap,
         # `NISQA_model.py:88-89,239-240`): batches shard over 'data',
@@ -211,6 +213,45 @@ class TrainEngine:
             return e[1].astype(np.float32) / 32768.0
         return e[1]
 
+    def _fill_rows_f32(self, buf, items, entries, paths, load):
+        """Fill float32 transport rows for ``items`` = [(row_j, file_i)].
+
+        Natively-scanned entries ride the threaded C++ decoder
+        (native.fill_batch_f32 — any WAV flavor + FLAC16-mono, bit-identical
+        to the numpy path); the rest decode in Python. Returns {row_j: n}."""
+        from ..audio.melspec import pad_audio_for_batch
+
+        ms = self.ms
+        pad = ms.n_fft // 2
+        out_n = {}
+        nat = [(j, i) for j, i in items if entries[i][0] in ("native", "native_f32")]
+        rest = [(j, i) for j, i in items if entries[i][0] not in ("native", "native_f32")]
+        if nat:
+            from ..data import native
+
+            # direct in-place fill when the rows are the whole buffer in
+            # order (the common case); scratch block otherwise
+            direct = len(nat) == buf.shape[0] and all(j == r for r, (j, _) in enumerate(nat))
+            target = buf if direct else np.zeros((len(nat), buf.shape[1]), np.float32)
+            ns, srs, status = native.fill_batch_f32(
+                [paths[i] for _, i in nat], target, pad,
+                n_threads=max(1, int(self.runner.args.get("tr_num_workers") or 4)),
+            )
+            for row, (j, i) in enumerate(nat):
+                if status[row] == 0:
+                    if not direct:
+                        buf[j] = target[row]
+                    out_n[j] = int(ns[row])
+                else:  # rare race: decode this file in Python below
+                    rest.append((j, i))
+        for j, i in rest:
+            y = self._audio_f32(i, entries, paths, load)
+            padded = pad_audio_for_batch(y, ms.n_fft, len(y) + ms.n_fft)
+            w = min(len(padded), buf.shape[1])
+            buf[j, :w] = padded[:w]
+            out_n[j] = len(y)
+        return out_n
+
     def _build_device_corpus(self, paths, entries, paths_ref, entries_ref, de, load):
         """Upload the whole training corpus to the device once, grouped by
         sample rate at that rate's max length bucket. Rows are transport-
@@ -219,8 +260,6 @@ class TrainEngine:
         {sr: {rows, n, local, bucket, kind[, rows_ref, n_ref]}} for the srs
         that fit under tr_device_cache_mb; srs that don't fit simply stay on
         the per-batch host-fill path."""
-        from ..audio.melspec import pad_audio_for_batch
-
         ms = self.ms
         by_sr = {}
         for i, e in enumerate(entries):
@@ -264,13 +303,10 @@ class TrainEngine:
                     if (status == 0).all():
                         return buf, ns.astype(np.int32)
                 buf = np.zeros((len(gidx), buf_len), dtype=np.float32)
-                ns = np.zeros((len(gidx),), dtype=np.int32)
-                for j, i in enumerate(gidx):
-                    y = self._audio_f32(i, ents, pths, load)
-                    padded = pad_audio_for_batch(y, ms.n_fft, len(y) + ms.n_fft)
-                    w = min(len(padded), buf_len)
-                    buf[j, :w] = padded[:w]
-                    ns[j] = len(y)
+                n_of_row = self._fill_rows_f32(
+                    buf, list(enumerate(gidx)), ents, pths, load
+                )
+                ns = np.array([n_of_row[j] for j in range(len(gidx))], np.int32)
                 return buf, ns
 
             buf, ns = fill(entries, paths)
@@ -363,9 +399,13 @@ class TrainEngine:
                 results.append((g, loss, y_hat))
                 step_i += 1
             if pbar is not None:
-                # the live loss display costs one tiny fetch per batch; only
-                # at tr_verbose=2 (reference parity: tqdm postfix)
-                pbar.set_postfix(loss=float(loss))
+                # live loss display (reference parity: tqdm postfix), but one
+                # batch BEHIND: fetching the just-dispatched step's loss would
+                # block until it finishes and serialize host fill with device
+                # work (rule 5, docs/RELAY_NOTES.md); the previous step has
+                # already drained while this batch was being filled
+                if len(results) > 1:
+                    pbar.set_postfix(loss=float(results[-2][1]))
                 pbar.update()
 
         if pbar is not None:
@@ -378,8 +418,6 @@ class TrainEngine:
 
     def _run_group(self, idx, paths, paths_ref, entries, entries_ref, load,
                    y_all, bias_losses, lr, rng, K, de, kind, dc=None):
-        from ..audio.melspec import pad_audio_for_batch
-
         ms = self.ms
         runner = self.runner
         sr = entries[idx[0]][2]
@@ -422,18 +460,11 @@ class TrainEngine:
         def n_wins_of(n_samples):
             return ms.n_wins(ms.n_frames(n_samples, sr))
 
-        def audio_f32(i, ents, pths):
-            return self._audio_f32(i, ents, pths, load)
-
         def fill_f32(ents, pths):
             buf = np.zeros((B, buf_len), dtype=np.float32)
-            n = np.zeros((B,), dtype=np.int32)
-            for j in range(B):
-                y = audio_f32(idx[j] if j < n_real else idx[0], ents, pths)
-                padded = pad_audio_for_batch(y, ms.n_fft, len(y) + ms.n_fft)
-                w = min(len(padded), buf_len)  # pad tail past last read is unused
-                buf[j, :w] = padded[:w]
-                n[j] = len(y)
+            items = [(j, int(idx[j] if j < n_real else idx[0])) for j in range(B)]
+            n_of_row = self._fill_rows_f32(buf, items, ents, pths, load)
+            n = np.array([n_of_row[j] for j in range(B)], np.int32)
             return buf, n
 
         def fill_i16(pths):
