@@ -483,6 +483,10 @@ int fill_row_f32(const char* path, float* row, int64_t buf_len, int64_t pad,
         WavFmtAny w = parse_wav_any(data.data(), fsize);
         if (!f32_decodable(w)) return -1;
         int C = w.channels;
+        // mono ignores the channel selector (reference semantics: lb.load
+        // mono=False returns 1-D for mono files and the select is skipped,
+        // NISQA_lib.py:2299-2303); multi-channel out-of-range is an error
+        if (C == 1) channel = channel > 0 ? 0 : channel;
         if (channel >= C) return -1;
         int bytes = w.bits / 8;
         int64_t frame_bytes = (int64_t)C * bytes;

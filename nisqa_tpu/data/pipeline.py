@@ -383,7 +383,9 @@ class InferenceEngine:
         ms = self.ms
         out = [None] * len(paths)
         todo = list(range(len(paths)))
-        if not ms.sr and ms.channel is None and native.available() and paths:
+        # ms_channel is handled natively too (C++ channel select / f32 mean);
+        # only resampling (`ms_sr`) forces the Python decode path
+        if not ms.sr and native.available() and paths:
             n_s, sr_s, kind_s, status = native.scan_audio(paths, n_threads=self.num_workers)
             min_n = ms.n_fft // 2 + 2
             todo = []

@@ -234,7 +234,7 @@ class TrainEngine:
             direct = len(nat) == buf.shape[0] and all(j == r for r, (j, _) in enumerate(nat))
             target = buf if direct else np.zeros((len(nat), buf.shape[1]), np.float32)
             ns, srs, status = native.fill_batch_f32(
-                [paths[i] for _, i in nat], target, pad,
+                [paths[i] for _, i in nat], target, pad, channel=ms.channel,
                 n_threads=max(1, int(self.runner.args.get("tr_num_workers") or 4)),
             )
             for row, (j, i) in enumerate(nat):

@@ -157,6 +157,33 @@ def test_native_f32_fill_matches_python(tmp_path):
         np.testing.assert_array_equal(buf[j, :w], expect[:w], err_msg=p)
 
 
+def test_native_f32_channel_select(tmp_path):
+    """channel= semantics match the reference: 0-based select on
+    multi-channel files, silently ignored on mono (NISQA_lib.py:2299-2303)."""
+    from nisqa_tpu.audio.melspec import pad_audio_for_batch
+    from nisqa_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native loader unavailable")
+    files = _format_fixtures(tmp_path)
+    stereo, mono = files[-2], files[-1]
+    n_fft, buf_len = 16, 160
+    for ch in (0, 1):
+        buf = np.zeros((2, buf_len), np.float32)
+        ns, srs, status = native.fill_batch_f32([stereo, mono], buf, n_fft // 2,
+                                                channel=ch)
+        assert (status == 0).all()
+        for j, p in enumerate((stereo, mono)):
+            y, _ = wavio.read_wav(p, channel=ch)
+            expect = pad_audio_for_batch(y, n_fft, buf_len)
+            w = n_fft // 2 + len(y) + min(n_fft // 2, buf_len - (n_fft // 2 + len(y)))
+            np.testing.assert_array_equal(buf[j, :w], expect[:w], err_msg=f"{p} ch{ch}")
+    # out-of-range channel on a true multi-channel file must fail over
+    buf = np.zeros((1, buf_len), np.float32)
+    _, _, st = native.fill_batch_f32([stereo], buf, n_fft // 2, channel=5)
+    assert st[0] != 0
+
+
 def test_scan_audio_kinds(tmp_path):
     from nisqa_tpu.data import native
 
