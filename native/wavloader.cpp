@@ -448,10 +448,16 @@ bool f32_decodable(const WavFmtAny& w) {
     return false;
 }
 
+// channel == kChannelMean selects the float32 mean across channels (librosa
+// mono=True). Any other value is a 0-based channel index with reference
+// semantics: negative counts from the end (numpy x[channel]), and mono
+// files ignore the selector entirely (NISQA_lib.py:2299-2303). A plain -1
+// must NOT be the mean sentinel — it is a reference-legal "last channel".
+constexpr int kChannelMean = INT32_MIN;
+
 // Decode one file into a float32 row: [reflect | samples | reflect(clamped)].
-// channel < 0 selects the float32 mean across channels (librosa mono=True);
-// otherwise that channel. FLAC (16-bit mono) is decoded then scaled, so DE
-// pairs that force the f32 transport still ride the native path.
+// FLAC (16-bit mono) is decoded then scaled, so DE pairs that force the f32
+// transport still ride the native path.
 int fill_row_f32(const char* path, float* row, int64_t buf_len, int64_t pad,
                  int channel, int32_t* n_out, int32_t* sr_out) {
     FILE* f = fopen(path, "rb");
@@ -470,7 +476,7 @@ int fill_row_f32(const char* path, float* row, int64_t buf_len, int64_t pad,
     if (fsize >= 4 && memcmp(data.data(), "fLaC", 4) == 0) {
         FlacInfo fi = parse_flac_header(data.data(), fsize);
         if (!fi.ok || fi.channels != 1 || fi.bits != 16) return -1;
-        if (channel > 0) return -1;
+        // mono: the channel selector is ignored (reference semantics)
         n = fi.total_samples;
         if (n <= pad + 1 || pad + n > buf_len) return -1;
         std::vector<int16_t> tmp((size_t)n);
@@ -483,11 +489,13 @@ int fill_row_f32(const char* path, float* row, int64_t buf_len, int64_t pad,
         WavFmtAny w = parse_wav_any(data.data(), fsize);
         if (!f32_decodable(w)) return -1;
         int C = w.channels;
-        // mono ignores the channel selector (reference semantics: lb.load
-        // mono=False returns 1-D for mono files and the select is skipped,
-        // NISQA_lib.py:2299-2303); multi-channel out-of-range is an error
-        if (C == 1) channel = channel > 0 ? 0 : channel;
-        if (channel >= C) return -1;
+        if (channel != kChannelMean) {
+            // mono ignores the selector; multi-channel applies numpy
+            // indexing (negative counts from the end), out-of-range fails
+            if (C == 1) channel = 0;
+            else if (channel < 0) channel += C;
+            if (channel < 0 || channel >= C) return -1;
+        }
         int bytes = w.bits / 8;
         int64_t frame_bytes = (int64_t)C * bytes;
         int64_t avail = fsize - w.data_off;
@@ -521,8 +529,8 @@ int fill_row_f32(const char* path, float* row, int64_t buf_len, int64_t pad,
             }
         };
 
-        if (C == 1 || channel >= 0) {
-            int c = channel < 0 ? 0 : channel;
+        if (C == 1 || channel != kChannelMean) {
+            int c = channel == kChannelMean ? 0 : channel;
             for (int64_t t = 0; t < n; ++t)
                 dst[t] = sample(p + t * frame_bytes + (int64_t)c * bytes);
         } else {
@@ -650,45 +658,14 @@ void scan_audio(const char** paths, int n_files, int32_t* n_out,
     for (auto& w : workers) w.join();
 }
 
-// Legacy scan: sample counts + rates for bucketing (status as above).
+// Legacy i16-only scan: one scanner implementation (scan_audio) with the
+// historical contract that only raw-int16-eligible files report status 0.
 void scan_wavs(const char** paths, int n_files, int32_t* n_out,
                int32_t* sr_out, int32_t* status, int n_threads) {
-    if (n_threads < 1) n_threads = 1;
-    std::vector<std::thread> workers;
-    int per = (n_files + n_threads - 1) / n_threads;
-    for (int t = 0; t < n_threads; ++t) {
-        int lo = t * per;
-        int hi = lo + per < n_files ? lo + per : n_files;
-        if (lo >= hi) break;
-        workers.emplace_back([=]() {
-            for (int i = lo; i < hi; ++i) {
-                FILE* f = fopen(paths[i], "rb");
-                if (!f) { status[i] = -1; continue; }
-                uint8_t hdr[65536];
-                size_t got = fread(hdr, 1, sizeof(hdr), f);
-                fclose(f);
-                WavData w = parse_wav(hdr, (int64_t)got);
-                if (w.ok) {
-                    // the data chunk usually extends past the 64K header
-                    // read; the declared size field is authoritative
-                    n_out[i] = (int32_t)w.n_declared;
-                    sr_out[i] = w.sample_rate;
-                    status[i] = 0;
-                    continue;
-                }
-                FlacInfo fi = parse_flac_header(hdr, (int64_t)got);
-                if (fi.ok && fi.channels == 1 && fi.bits == 16 &&
-                    fi.total_samples > 0 && fi.total_samples < (1LL << 31)) {
-                    n_out[i] = (int32_t)fi.total_samples;
-                    sr_out[i] = fi.sample_rate;
-                    status[i] = 0;
-                } else {
-                    status[i] = -1;
-                }
-            }
-        });
-    }
-    for (auto& w : workers) w.join();
+    std::vector<int32_t> kind((size_t)(n_files > 0 ? n_files : 1));
+    scan_audio(paths, n_files, n_out, sr_out, kind.data(), status, n_threads);
+    for (int i = 0; i < n_files; ++i)
+        if (kind[i] != 0) status[i] = -1;
 }
 
 }  // extern "C"

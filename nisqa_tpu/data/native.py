@@ -111,8 +111,9 @@ def fill_batch_f32(paths, buf: np.ndarray, pad: int, channel=None, n_threads: in
     """Fill rows of ``buf`` (B, buf_len) float32 with reflect-padded samples
     from any natively-decodable WAV (8/16/24/32-bit PCM, IEEE float 32/64,
     multi-channel) or 16-bit mono FLAC. ``channel=None`` takes the float32
-    channel mean (librosa mono semantics), matching
-    nisqa_tpu/audio/wav.py::read_wav bit-for-bit.
+    channel mean (librosa mono semantics); an int selects that channel with
+    numpy indexing (negative counts from the end, mono ignores it) —
+    matching nisqa_tpu/audio/wav.py::read_wav bit-for-bit.
 
     Returns (n_samples, sample_rates, status) int32 arrays; status != 0 rows
     were not filled (caller decodes those in Python).
@@ -128,7 +129,9 @@ def fill_batch_f32(paths, buf: np.ndarray, pad: int, channel=None, n_threads: in
         _paths_array(paths), n,
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_int64(buf.shape[1]), ctypes.c_int64(pad),
-        ctypes.c_int(-1 if channel is None else int(channel)),
+        # mean-sentinel is INT32_MIN, NOT -1: negative channel indices are
+        # reference-legal (numpy x[channel] counts from the end)
+        ctypes.c_int(-(2**31) if channel is None else int(channel)),
         n_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         sr_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

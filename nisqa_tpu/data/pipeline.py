@@ -216,6 +216,27 @@ def front_end_consts(ms: MsConfig, sr: int, transport: str = "f32"):
     }
 
 
+def validate_filled_row(ms: MsConfig, path, n, sr, sr_got=None):
+    """Post-fill sanity for natively-decoded rows.
+
+    The header scan gates on DECLARED sample counts; the fill decodes what
+    is actually there. A truncated file that decodes too short for one
+    segment window must raise the reference's 'Sample too short' error
+    (`NISQA_lib.py:2259-2263`) instead of shipping n_wins<=0 masks to the
+    device (all-masked pooling softmaxes to NaN — a silent wrong answer).
+    Likewise a file whose sample rate changed between scan and fill would
+    run through a pipeline compiled for the old rate."""
+    if sr_got is not None and int(sr_got) != int(sr):
+        raise ValueError(
+            f"Error loading file {path}: sample rate changed since scan "
+            f"({sr_got} != {sr}) — file replaced mid-pass?"
+        )
+    try:
+        ms.n_wins(ms.n_frames(int(n), int(sr)))
+    except ValueError as e:
+        raise ValueError(f"Error loading file {path}: {e}") from None
+
+
 class InferenceEngine:
     """Compiled predict pipelines keyed by (sample_rate, T bucket, batch)."""
 
@@ -796,11 +817,15 @@ class InferenceEngine:
                 )
                 for row, (j, i) in enumerate(native_items):
                     if status[row] == 0:
+                        validate_filled_row(self.ms, src_paths[i], ns[row],
+                                            source[i][2], srs[row])
                         if not all_native:
                             buf[j] = target[row]
                         n[j] = ns[row]
                     else:  # rare race (file changed since scan): python path
-                        x, _ = wavio.read_wav(src_paths[i])
+                        x, sr_got = wavio.read_wav(src_paths[i])
+                        validate_filled_row(self.ms, src_paths[i], len(x),
+                                            source[i][2], sr_got)
                         x = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
                         source[i] = ("i16", x, source[i][2])
             for j, i in enumerate(chunk):
@@ -842,11 +867,17 @@ class InferenceEngine:
                 )
                 for row, (j, i) in enumerate(native_items):
                     if status[row] == 0:
+                        validate_filled_row(self.ms, src_paths[i], ns[row],
+                                            source[i][2], srs[row])
                         if not all_native:
                             buf[j] = target[row]
                         n[j] = ns[row]
                     else:  # rare race: decode this file in Python below
+                        sr_expect = source[i][2]
                         source[i] = ("f32",) + self._load_audio(src_paths[i])
+                        validate_filled_row(self.ms, src_paths[i],
+                                            len(source[i][1]), sr_expect,
+                                            source[i][2])
 
             for j, i in enumerate(chunk):
                 if source[i][0] in ("native", "native_f32"):

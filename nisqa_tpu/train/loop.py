@@ -29,7 +29,7 @@ import numpy as np
 import optax
 import pandas as pd
 
-from ..data.pipeline import _front_end
+from ..data.pipeline import _front_end, validate_filled_row
 from ..eval.report import eval_results
 from .bias_loss import BiasLoss
 from .checkpoint import save_train_state
@@ -239,6 +239,8 @@ class TrainEngine:
             )
             for row, (j, i) in enumerate(nat):
                 if status[row] == 0:
+                    validate_filled_row(ms, paths[i], ns[row],
+                                        entries[i][2], srs[row])
                     if not direct:
                         buf[j] = target[row]
                     out_n[j] = int(ns[row])
@@ -246,6 +248,7 @@ class TrainEngine:
                     rest.append((j, i))
         for j, i in rest:
             y = self._audio_f32(i, entries, paths, load)
+            validate_filled_row(ms, paths[i], len(y), entries[i][2])
             padded = pad_audio_for_batch(y, ms.n_fft, len(y) + ms.n_fft)
             w = min(len(padded), buf.shape[1])
             buf[j, :w] = padded[:w]
@@ -301,6 +304,9 @@ class TrainEngine:
                         n_threads=max(1, int(self.runner.args.get("tr_num_workers") or 4)),
                     )
                     if (status == 0).all():
+                        for j, i in enumerate(gidx):
+                            validate_filled_row(ms, pths[i], ns[j],
+                                                ents[i][2], srs[j])
                         return buf, ns.astype(np.int32)
                 buf = np.zeros((len(gidx), buf_len), dtype=np.float32)
                 n_of_row = self._fill_rows_f32(
@@ -478,6 +484,8 @@ class TrainEngine:
             )
             if (status != 0).any():
                 return None  # rare race: fall back to the float path
+            for j, i in enumerate(idx):
+                validate_filled_row(ms, paths[i], ns[j], entries[i][2], srs[j])
             n[:n_real] = ns
             for j in range(n_real, B):
                 buf[j] = buf[0]

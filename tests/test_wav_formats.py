@@ -178,10 +178,46 @@ def test_native_f32_channel_select(tmp_path):
             expect = pad_audio_for_batch(y, n_fft, buf_len)
             w = n_fft // 2 + len(y) + min(n_fft // 2, buf_len - (n_fft // 2 + len(y)))
             np.testing.assert_array_equal(buf[j, :w], expect[:w], err_msg=f"{p} ch{ch}")
+    # negative index counts from the end (numpy semantics): -1 == channel 1
+    buf_neg = np.zeros((1, buf_len), np.float32)
+    buf_pos = np.zeros((1, buf_len), np.float32)
+    _, _, st_n = native.fill_batch_f32([stereo], buf_neg, n_fft // 2, channel=-1)
+    _, _, st_p = native.fill_batch_f32([stereo], buf_pos, n_fft // 2, channel=1)
+    assert st_n[0] == 0 and st_p[0] == 0
+    np.testing.assert_array_equal(buf_neg, buf_pos)
     # out-of-range channel on a true multi-channel file must fail over
     buf = np.zeros((1, buf_len), np.float32)
     _, _, st = native.fill_batch_f32([stereo], buf, n_fft // 2, channel=5)
     assert st[0] != 0
+
+
+def test_truncated_file_raises_in_engine(tmp_path):
+    """A file truncated below one segment window AFTER the header scan must
+    surface the reference's 'Sample too short' error naming the file — not
+    a silent NaN prediction (all-masked pooling)."""
+    from tests.test_e2e import TINY_ARGS, _make_ckpt
+    from nisqa_tpu.model import NisqaTPU
+
+    sr = 8000
+    files = _format_fixtures(tmp_path, n=int(sr * 0.8), sr=sr)
+    target = files[2]  # f32.wav: rides the native_f32 transport
+    ckpt = _make_ckpt(tmp_path)
+    (tmp_path / "out").mkdir()
+    args = {
+        **TINY_ARGS,
+        "mode": "predict_dir",
+        "pretrained_model": ckpt,
+        "data_dir": str(tmp_path),
+        "output_dir": str(tmp_path / "out"),
+        "tr_bs_val": 4,
+        "tr_num_workers": 2,
+    }
+    runner = NisqaTPU(args)
+    # truncate AFTER dataset/scan setup so the declared length still gates
+    data = open(target, "rb").read()
+    open(target, "wb").write(data[: 44 + 4 * 10])  # 10 samples
+    with pytest.raises(ValueError, match="[Ss]ample too short|Error loading"):
+        runner.predict()
 
 
 def test_scan_audio_kinds(tmp_path):
