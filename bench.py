@@ -30,8 +30,11 @@ import time
 import numpy as np
 
 CPU_BASELINE_AUDIO_SEC_PER_SEC = 37.8  # tools/measure_baseline.py, same corpus, best config (workers=0)
-CORPUS_DIR = "/tmp/nisqa_bench_corpus_v2"
-N_FILES = 96
+# NISQA_BENCH_FILES scales the corpus (scaling study); default matches the
+# recorded baseline corpus, each size gets its own dir
+N_FILES = int(os.environ.get("NISQA_BENCH_FILES") or 96)
+CORPUS_DIR = ("/tmp/nisqa_bench_corpus_v2" if N_FILES == 96
+              else f"/tmp/nisqa_bench_corpus_v2_{N_FILES}")
 
 
 def make_corpus(out_dir, n_files=N_FILES, seed=0):
@@ -78,7 +81,11 @@ def _run(warm_only=False):
         # default None = auto (Pallas front-end on TPU backends); A/B overrides
         pallas_mel=(False if os.environ.get("NISQA_BENCH_NOPALLAS")
                     else True if os.environ.get("NISQA_BENCH_PALLAS") else None),
-        cache_mb=0 if os.environ.get("NISQA_BENCH_NOCACHE") else 512,
+        # corpus residency must fit or every pass is cold: scale the cap
+        # with the corpus (512 MB covers the default 96 files; ~6 MB/file
+        # of padded i16 at 3-30 s / 48 kHz)
+        cache_mb=(0 if os.environ.get("NISQA_BENCH_NOCACHE")
+                  else max(512, N_FILES * 6)),
     )
 
     # warmup compiles (persistent-cache-backed) + executes, no result fetch

@@ -80,11 +80,17 @@ def main():
     runner.train()
     wall = time.time() - tic
 
+    # tools/measure_baseline_train.py: reference torch-CPU bare train loop on
+    # the same corpus/arch (conservative denominator — it excludes the eval
+    # passes this number includes)
+    CPU_TRAIN_BASELINE = 12.5
     best_epoch = min(epoch_times[1:]) if len(epoch_times) > 1 else epoch_times[0]
+    value = train_audio / best_epoch
     print(json.dumps({
         "metric": "train_epoch_throughput_nisqa_bs32",
-        "value": round(train_audio / best_epoch, 2),
+        "value": round(value, 2),
         "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(value / CPU_TRAIN_BASELINE, 2),
         "epoch_sec_best": round(best_epoch, 2),
         "full_loop_sec_4ep": round(wall, 1),
     }))
