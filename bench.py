@@ -29,10 +29,15 @@ import time
 
 import numpy as np
 
-CPU_BASELINE_AUDIO_SEC_PER_SEC = 37.8  # tools/measure_baseline.py, same corpus, best config (workers=0)
-# NISQA_BENCH_FILES scales the corpus (scaling study); default matches the
-# recorded baseline corpus, each size gets its own dir
-N_FILES = int(os.environ.get("NISQA_BENCH_FILES") or 96)
+# tools/measure_baseline.py: the reference's BEST measured rate across
+# corpus sizes/configs (96 files, workers=0). Deliberately kept as the
+# denominator for every corpus size — the matched 384-file CPU measurement
+# is lower (29.0 a-s/s), so vs_baseline understates the large-corpus gap.
+CPU_BASELINE_AUDIO_SEC_PER_SEC = 37.8
+# default corpus: 384 files ≈ 4,500 audio-s — closer to real NISQA serving
+# corpora (the NISQA Corpus is 14k files) and big enough to amortise the
+# per-pass RPC floor. NISQA_BENCH_FILES overrides (96 = the round-1 corpus).
+N_FILES = int(os.environ.get("NISQA_BENCH_FILES") or 384)
 CORPUS_DIR = ("/tmp/nisqa_bench_corpus_v2" if N_FILES == 96
               else f"/tmp/nisqa_bench_corpus_v2_{N_FILES}")
 

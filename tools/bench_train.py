@@ -21,11 +21,15 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import CORPUS_DIR, make_corpus  # noqa: E402
+from bench import make_corpus  # noqa: E402
+
+# the train bench stays on the recorded 96-file corpus regardless of
+# bench.py's default serving-corpus size (the 80/16 split below assumes it)
+CORPUS_DIR = "/tmp/nisqa_bench_corpus_v2"
 
 
 def main():
-    total_sec, paths = make_corpus(CORPUS_DIR)
+    total_sec, paths = make_corpus(CORPUS_DIR, n_files=96)
     names = [os.path.basename(p) for p in paths]
     rng = np.random.default_rng(0)
     df = pd.DataFrame({
