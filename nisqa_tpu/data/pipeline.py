@@ -80,7 +80,8 @@ class MsConfig:
 
 
 def _front_end(ms: MsConfig, sr: int, t_bucket: int, frame_chunk: int = 256,
-               transport: str = "f32", pallas_mel: bool = False):
+               transport: str = "f32", pallas_mel: bool = False,
+               fe_fast: bool = False):
     """Build the traced front-end: (audio_buf, n_samples) -> (segs, n_wins).
 
     Returns (fn, buf_len). Everything is static-shape; see
@@ -123,6 +124,12 @@ def _front_end(ms: MsConfig, sr: int, t_bucket: int, frame_chunk: int = 256,
     n_win_rows = r1 - r0 + 1
     n_rows = n_frames_max + r1
     buf_len = n_rows * hop
+    # the analysis window is nonzero on only `win` of the row-span samples
+    # (zero-padded n_fft frame): trim the DFT contraction to those columns —
+    # a 1.5x FLOP cut at 48 kHz (span 1440 -> 960) with bit-identical
+    # output (dropped terms multiply exact-zero weights). c0 is the window
+    # start offset inside the first covered row.
+    c0 = lpad - r0 * hop
 
     def fn(consts, audio, n_samples):
         w_re, w_im, fb_t = consts["w_re"], consts["w_im"], consts["fb_t"]
@@ -134,7 +141,11 @@ def _front_end(ms: MsConfig, sr: int, t_bucket: int, frame_chunk: int = 256,
         # concat == hop-strided im2col, no gather, no scan (scan machinery
         # costs ~10MB of generated code; one-shot einsums tile fine)
         parts = [rows[:, r0 + k : r0 + k + n_frames_max, :] for k in range(n_win_rows)]
-        frames = jnp.concatenate(parts, axis=2).astype(jnp.float32)
+        frames = jnp.concatenate(parts, axis=2)[:, :, c0 : c0 + win].astype(jnp.float32)
+        # exact mode: f32 multi-pass matmuls (bit-stable librosa parity);
+        # fast mode (fe_fast): single-pass bf16 with f32 accumulation —
+        # parity bound measured and recorded in BASELINE.md, opt-in
+        dft_prec = lax.Precision.DEFAULT if fe_fast else lax.Precision.HIGHEST
         if pallas_mel:
             from ..ops.pallas_mel import fused_dft_mel
 
@@ -146,12 +157,12 @@ def _front_end(ms: MsConfig, sr: int, t_bucket: int, frame_chunk: int = 256,
             row_pad = (-nf) % 8
             if row_pad:
                 fr = jnp.pad(fr, ((0, row_pad), (0, 0)))
-            mel = fused_dft_mel(fr, w_re, w_im, fb_t)[:nf].reshape(
+            mel = fused_dft_mel(fr, w_re, w_im, fb_t, bf16=fe_fast)[:nf].reshape(
                 B, n_frames_max, ms.n_mels
             )
         else:
-            re = jnp.einsum("bfs,sk->bfk", frames, w_re, precision=lax.Precision.HIGHEST)
-            im = jnp.einsum("bfs,sk->bfk", frames, w_im, precision=lax.Precision.HIGHEST)
+            re = jnp.einsum("bfs,sk->bfk", frames, w_re, precision=dft_prec)
+            im = jnp.einsum("bfs,sk->bfk", frames, w_im, precision=dft_prec)
             spec = jnp.sqrt(re * re + im * im)
             mel = jnp.einsum("bfk,km->bfm", spec, fb_t, precision=lax.Precision.HIGHEST)
 
@@ -193,21 +204,19 @@ def front_end_consts(ms: MsConfig, sr: int, transport: str = "f32"):
     hop = int(sr * ms.hop_s)
     win = int(sr * ms.win_s)
     n_fft = ms.n_fft
-    lpad = (n_fft - win) // 2
-    r0 = lpad // hop
-    r1 = (lpad + win - 1) // hop
-    w_cols = (r1 - r0 + 1) * hop
 
     fb = mel_filterbank(int(sr), n_fft, ms.n_mels, 0.0, ms.fmax)  # (M, K)
     nz = np.nonzero(fb.any(axis=0))[0]
     k_hi = int(nz[-1]) + 1 if len(nz) else fb.shape[1]
     k_keep = min(-(-k_hi // 128) * 128, fb.shape[1])
 
+    # only the `win` samples where the (zero-padded) analysis window is
+    # nonzero participate — matches the trimmed im2col slice in _front_end
+    lpad = (n_fft - win) // 2
     window = padded_window(win, n_fft).astype(np.float64)
     scale = (1.0 / 32768.0) if transport == "i16" else 1.0
-    s_idx = r0 * hop + np.arange(w_cols)
-    in_range = s_idx < n_fft
-    wvals = np.where(in_range, window[np.minimum(s_idx, n_fft - 1)], 0.0) * scale
+    s_idx = lpad + np.arange(win)
+    wvals = window[s_idx] * scale
     ang = -2.0 * np.pi * np.outer(s_idx, np.arange(k_keep)) / n_fft
     return {
         "w_re": (wvals[:, None] * np.cos(ang)).astype(np.float32),
@@ -243,7 +252,7 @@ class InferenceEngine:
     def __init__(self, model, params, state, ms: MsConfig, batch_size: int = 32,
                  mesh=None, num_workers: int = 8, precision: str = "default",
                  pallas_mel: bool | None = None, fuse_pass: bool = False,
-                 cache_mb: int = 512):
+                 cache_mb: int = 512, fe_precision: str = "exact"):
         self.model = model
         self.ms = ms
         self.batch_size = int(batch_size)
@@ -281,6 +290,12 @@ class InferenceEngine:
         # one large in-dispatch transfer); kept as an option for
         # direct-attached hardware and fixed-corpus serving.
         self.fuse_pass = fuse_pass
+        # front-end precision: 'exact' (default) = f32 multi-pass DFT,
+        # bit-stable vs librosa; 'fast' = single-pass bf16 DFT with f32
+        # accumulation — measured MOS bound in BASELINE.md before trusting
+        if fe_precision not in ("exact", "fast"):
+            raise ValueError(f"fe_precision must be 'exact' or 'fast', got {fe_precision!r}")
+        self.fe_precision = fe_precision
         # device-resident corpus cache: repeated predict_paths over an
         # unchanged path list (serving; per-epoch validation) skip decode AND
         # upload — the serving analog of the reference's `_to_memory` RAM
@@ -329,7 +344,8 @@ class InferenceEngine:
         if key in self._pipelines:
             return self._pipelines[key]
         fe, buf_len = _front_end(
-            self.ms, sr, t_bucket, transport=transport, pallas_mel=self.pallas_mel
+            self.ms, sr, t_bucket, transport=transport, pallas_mel=self.pallas_mel,
+            fe_fast=(self.fe_precision == "fast"),
         )
         model = self.model
         precision = self.precision
@@ -749,7 +765,8 @@ class InferenceEngine:
         for sr, bucket, kind in plan_keys:
             self._pipeline(sr, bucket, kind)  # ensures consts + buf_lens exist
             fe, _ = _front_end(self.ms, sr, bucket, transport=kind,
-                               pallas_mel=self.pallas_mel)
+                               pallas_mel=self.pallas_mel,
+                               fe_fast=(self.fe_precision == "fast"))
             fes.append(fe)
             # consts must stay explicit arguments: closed-over arrays embed
             # as HLO literals, which poisons the relay link on load

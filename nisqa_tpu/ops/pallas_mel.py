@@ -22,7 +22,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _mel_kernel(frames_ref, w_re_ref, w_im_ref, fb_ref, out_ref):
+def _mel_kernel(frames_ref, w_re_ref, w_im_ref, fb_ref, out_ref, *, bf16=False):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -30,19 +30,33 @@ def _mel_kernel(frames_ref, w_re_ref, w_im_ref, fb_ref, out_ref):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     f = frames_ref[:]  # (tile_f, span)
-    re = jnp.dot(f, w_re_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(f, w_im_ref[:], preferred_element_type=jnp.float32)
+    wr, wi = w_re_ref[:], w_im_ref[:]
+    if bf16:
+        # fast mode: single-pass bf16 MXU matmuls with f32 accumulation
+        # (vs the exact mode's f32 multi-pass); parity bound measured in
+        # BASELINE.md, opt-in via InferenceEngine(fe_precision='fast').
+        # The DEFAULT precision must be pinned explicitly: an inherited
+        # fp32 contract precision on bf16 operands is rejected by Mosaic
+        # ("Bad lhs type").
+        f, wr, wi = (a.astype(jnp.bfloat16) for a in (f, wr, wi))
+        prec = jax.lax.Precision.DEFAULT
+    else:
+        prec = None
+    re = jnp.dot(f, wr, preferred_element_type=jnp.float32, precision=prec)
+    im = jnp.dot(f, wi, preferred_element_type=jnp.float32, precision=prec)
     mag = jnp.sqrt(re * re + im * im)  # (tile_f, tile_k)
     out_ref[:] += jnp.dot(mag, fb_ref[:], preferred_element_type=jnp.float32)
 
 
 def fused_dft_mel(frames, w_re, w_im, fb_kt, tile_f: int | None = None,
-                  tile_k: int | None = None, vmem_budget: int = 8 << 20):
+                  tile_k: int | None = None, vmem_budget: int = 8 << 20,
+                  bf16: bool = False):
     """frames: (N, span) f32; w_re/w_im: (span, K); fb_kt: (K, M).
 
     Returns mel (N, M) f32 == |frames @ (w_re + i w_im)| @ fb_kt.
     N must be a multiple of 8; K a multiple of 128 (pad with zero columns);
-    M <= 128 recommended (one lane tile).
+    M <= 128 recommended (one lane tile). ``bf16`` switches the DFT matmuls
+    to single-pass bf16 (f32 accumulation) — the engine's fast front-end.
 
     Tile sizes auto-shrink to fit ``vmem_budget`` (double-buffered blocks +
     headroom for the output, which XLA may also place in VMEM): large spans
@@ -67,8 +81,10 @@ def fused_dft_mel(frames, w_re, w_im, fb_kt, tile_f: int | None = None,
     assert k_total % tile_k == 0, "pad DFT bins to a tile_k multiple"
     grid = (pl.cdiv(n, tile_f), k_total // tile_k)
 
+    from functools import partial
+
     return pl.pallas_call(
-        _mel_kernel,
+        partial(_mel_kernel, bf16=bf16),
         out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
         grid=grid,
         in_specs=[

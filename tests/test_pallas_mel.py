@@ -44,3 +44,45 @@ def test_fused_dft_mel_interpret():
     im = frames @ c["w_im"]
     ref = np.sqrt(re * re + im * im) @ c["fb_t"]
     assert np.abs(np.asarray(out) - ref).max() < 1e-4
+
+    # bf16 fast-mode variant: same math at reduced DFT input precision
+    from functools import partial
+
+    out_fast = pl.pallas_call(
+        partial(_mel_kernel, bf16=True),
+        out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
+        grid=(n // tile_f, k_total // tile_k),
+        in_specs=[
+            pl.BlockSpec((tile_f, span), lambda i, k: (i, 0)),
+            pl.BlockSpec((span, tile_k), lambda i, k: (0, k)),
+            pl.BlockSpec((span, tile_k), lambda i, k: (0, k)),
+            pl.BlockSpec((tile_k, m), lambda i, k: (k, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile_f, m), lambda i, k: (i, 0)),
+        interpret=True,
+    )(frames, c["w_re"], c["w_im"], c["fb_t"])
+    rel = np.abs(np.asarray(out_fast) - ref) / (np.abs(ref) + 1e-6)
+    assert rel.max() < 0.05, "bf16 DFT should stay within ~1% of exact mel"
+
+
+def test_engine_fast_fe_close_to_exact(tmp_path):
+    """fe_precision='fast' must produce predictions close to the exact
+    front-end (identical on CPU where DEFAULT precision is f32; the real
+    bf16 delta is measured on hardware via tools/measure_parity.py)."""
+    import numpy as np
+
+    from tests.test_e2e import TINY_ARGS, _make_ckpt, _write_corpus
+    from nisqa_tpu.compat.torch_ckpt import load_model_from_tar
+    from nisqa_tpu.data.pipeline import InferenceEngine, MsConfig
+
+    names = _write_corpus(tmp_path, n=4)
+    ckpt = _make_ckpt(tmp_path)
+    model, params, state, args = load_model_from_tar(ckpt)
+    paths = [str(tmp_path / n) for n in names]
+    y_exact = InferenceEngine(model, params, state, MsConfig(args), batch_size=2,
+                              num_workers=1).predict_paths(paths)
+    y_fast = InferenceEngine(model, params, state, MsConfig(args), batch_size=2,
+                             num_workers=1, fe_precision="fast").predict_paths(paths)
+    assert np.abs(y_exact - y_fast).max() < 0.05
+    with pytest.raises(ValueError):
+        InferenceEngine(model, params, state, MsConfig(args), fe_precision="turbo")

@@ -5,7 +5,8 @@ Runs the full TPU pipeline (wav -> mel -> model) and the reference stack
 corpus; reports MOS MAE / max abs diff per released checkpoint. The
 BASELINE.json criterion is MAE < 0.01 absolute.
 
-Usage: python tools/measure_parity.py [n_files] [precision]
+Usage: python tools/measure_parity.py [n_files] [precision] [fe_precision]
+(fe_precision: 'exact' default | 'fast' = bf16 single-pass DFT)
 """
 
 import os
@@ -67,6 +68,7 @@ def main():
 
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     precision = sys.argv[2] if len(sys.argv) > 2 else "default"
+    fe_precision = sys.argv[3] if len(sys.argv) > 3 else "exact"
     make_corpus(CORPUS_DIR)
     paths = sorted(
         os.path.join(CORPUS_DIR, f) for f in os.listdir(CORPUS_DIR) if f.endswith(".wav")
@@ -76,14 +78,14 @@ def main():
         model, params, state, args = load_model_from_tar(f"/root/reference/weights/{tar}")
         engine = InferenceEngine(
             model, params, state, MsConfig(args), batch_size=8, num_workers=4,
-            precision=precision,
+            precision=precision, fe_precision=fe_precision,
         )
         ours = engine.predict_paths(paths)
         ref = reference_predict(tar, name, paths)
         diff = np.abs(ours - ref)
         print(
-            f"{tar:22s} precision={precision:8s} MOS MAE={diff[:, 0].mean():.5f} "
-            f"max(all dims)={diff.max():.5f}"
+            f"{tar:22s} precision={precision:8s} fe={fe_precision:5s} "
+            f"MOS MAE={diff[:, 0].mean():.5f} max(all dims)={diff.max():.5f}"
         )
 
 
