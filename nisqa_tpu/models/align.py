@@ -41,6 +41,10 @@ def _scores(method, params, q, y):
     if method == "luong":
         return jnp.einsum("bqd,byd->bqy", q, M.linear(params["w"], y))
     if method == "cosine":
+        # per-norm clamping at eps, NOT the docstring's max(||q||*||y||, eps):
+        # torch's ATen kernel (>=1.9, incl. the reference's 1.10) clamps each
+        # norm separately — pinned empirically vs torch in
+        # tests/test_round2_fixes.py::test_cosine_scores_match_torch_on_small_norms
         eps = 1e-8
         qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
         yn = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), eps)

@@ -33,7 +33,9 @@ def adapt_cnn_init(rng, cfg):
     kh, kw = _kernel_hw(cfg["cnn_kernel_size"])
     c1, c2, c3 = cfg["cnn_c_out_1"], cfg["cnn_c_out_2"], cfg["cnn_c_out_3"]
     kw_last = int(cfg["cnn_pool_3"][1])
-    ks = jax.random.split(rng, 6)
+    # 7 keys: 6 convs + fc. Re-splitting the already-consumed rng would
+    # alias the fc key with ks[1] (split(k, 2) is a prefix of split(k, 6))
+    ks = jax.random.split(rng, 7)
     params, state = {}, {}
     chans = [(1, c1, (kh, kw)), (c1, c2, (kh, kw)), (c2, c3, (kh, kw)),
              (c3, c3, (kh, kw)), (c3, c3, (kh, kw)), (c3, c3, (kh, kw_last))]
@@ -42,8 +44,7 @@ def adapt_cnn_init(rng, cfg):
         params[f"bn{i}"], state[f"bn{i}"] = M.batchnorm_init(co)
     fan_out = c3 * int(cfg["cnn_pool_3"][0])
     if cfg.get("cnn_fc_out_h"):
-        rng, k = jax.random.split(rng)
-        params["fc"] = M.linear_init(k, fan_out, int(cfg["cnn_fc_out_h"]))
+        params["fc"] = M.linear_init(ks[6], fan_out, int(cfg["cnn_fc_out_h"]))
         fan_out = int(cfg["cnn_fc_out_h"])
     return params, state, fan_out
 
@@ -91,7 +92,7 @@ def adapt_cnn_apply(params, state, cfg, x, valid=None, train=False, rng=None):
 def standard_cnn_init(rng, cfg):
     kh, kw = _kernel_hw(cfg["cnn_kernel_size"])
     c1, c2, c3 = cfg["cnn_c_out_1"], cfg["cnn_c_out_2"], cfg["cnn_c_out_3"]
-    ks = jax.random.split(rng, 6)
+    ks = jax.random.split(rng, 7)  # 6 convs + fc (see adapt_cnn_init note)
     params, state = {}, {}
     chans = [(1, c1), (c1, c2), (c2, c3), (c3, c3), (c3, c3), (c3, c3)]
     for i, (ci, co) in enumerate(chans, start=1):
@@ -99,8 +100,7 @@ def standard_cnn_init(rng, cfg):
         params[f"bn{i}"], state[f"bn{i}"] = M.batchnorm_init(co)
     fan_out = c3 * 6 * 2  # 48x15 pooled 3x -> 6x2
     if cfg.get("cnn_fc_out_h"):
-        rng, k = jax.random.split(rng)
-        params["fc"] = M.linear_init(k, fan_out, int(cfg["cnn_fc_out_h"]))
+        params["fc"] = M.linear_init(ks[6], fan_out, int(cfg["cnn_fc_out_h"]))
         fan_out = int(cfg["cnn_fc_out_h"])
     return params, state, fan_out
 
@@ -142,7 +142,13 @@ def standard_cnn_apply(params, state, cfg, x, valid=None, train=False, rng=None)
 
 
 def dff_init(rng, cfg):
-    h = int(cfg.get("cnn_fc_out_h") or 4096)
+    if not cfg.get("cnn_fc_out_h"):
+        # fail fast like the reference: its factory passes cnn_fc_out_h
+        # straight into nn.Linear (`NISQA_model.py:972`), which errors on
+        # None — a silent 4096 here would build a model no reference
+        # checkpoint can correspond to
+        raise ValueError("cnn_model='dff' requires cnn_fc_out_h to be set")
+    h = int(cfg["cnn_fc_out_h"])
     fan_in = int(cfg["ms_seg_length"]) * int(cfg["ms_n_mels"])
     ks = jax.random.split(rng, 4)
     params = {f"lin{i+1}": M.linear_init(ks[i], fan_in if i == 0 else h, h) for i in range(4)}

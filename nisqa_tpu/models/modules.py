@@ -104,6 +104,11 @@ def conv2d(p, x, pad_h, pad_w):
 # ---------------------------------------------------------------------------
 
 
+# torch BatchNorm2d default momentum — shared with the NISQA_DE serial
+# running-stats composition (models/nisqa.py), which must use the SAME value
+BN_MOMENTUM = 0.1
+
+
 def batchnorm_init(c):
     return (
         {"scale": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)},
@@ -111,7 +116,7 @@ def batchnorm_init(c):
     )
 
 
-def batchnorm(p, s, x, train=False, w=None, momentum=0.1, eps=1e-5):
+def batchnorm(p, s, x, train=False, w=None, momentum=BN_MOMENTUM, eps=1e-5):
     """BatchNorm over all axes but the last (channel).
 
     ``w``: optional per-row validity weights broadcastable to x[..., 0]
@@ -227,7 +232,6 @@ def _adaptive_pool_1d(x, axis, n_out):
         dims = [1] * x.ndim
         strides = [1] * x.ndim
         dims[axis] = s
-        return_shape_len = n_in - s + 1
         pooled[s] = lax.reduce_window(x, -jnp.inf, lax.max, dims, strides, "VALID")
 
     # group consecutive bins with equal size and uniform start stride
@@ -244,15 +248,24 @@ def _adaptive_pool_1d(x, axis, n_out):
             elif st != stride:
                 break
             j += 1
-        stride = stride or 1
         src = pooled[sizes[i]]
         lo = [0] * x.ndim
         hi = list(src.shape)
         stv = [1] * x.ndim
-        lo[axis] = starts[i]
-        hi[axis] = starts[j - 1] + 1
-        stv[axis] = stride
-        pieces.append(lax.slice(src, lo, hi, stv))
+        if stride == 0:
+            # n_out > n_in: torch repeats the same input bin — emit one
+            # slice and tile it (counts are tiny pool dims, code-size safe)
+            lo[axis] = starts[i]
+            hi[axis] = starts[i] + 1
+            piece = lax.slice(src, lo, hi, stv)
+            reps = [1] * x.ndim
+            reps[axis] = j - i
+            pieces.append(jnp.tile(piece, reps))
+        else:
+            stv[axis] = 1 if stride is None else stride
+            lo[axis] = starts[i]
+            hi[axis] = starts[j - 1] + 1
+            pieces.append(lax.slice(src, lo, hi, stv))
         i = j
     return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=axis)
 

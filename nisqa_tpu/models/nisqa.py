@@ -44,10 +44,9 @@ class NisqaNet:
         self.cfg = dict(cfg)
         self.double_ended = name == "NISQA_DE"
         self.dim = name == "NISQA_DIM"
-        # static structure (fan-outs) is resolved at construction time with a
-        # throwaway rng; real params come from init()
-        probe = self.init(jax.random.PRNGKey(0), probe_only=True)
-        self.fan_outs = probe
+        # static structure (stage kinds / fan-outs) is resolved at
+        # construction time with a throwaway rng; real params come from init()
+        self.init(jax.random.PRNGKey(0), probe_only=True)
 
     # -- construction -------------------------------------------------------
 
@@ -128,8 +127,8 @@ class NisqaNet:
             # running stats, serially like torch (deg first, then ref on top:
             # s1 = (1-m)s0 + m*stat_deg; s2 = (1-m)s1 + m*stat_ref). Both
             # passes here were computed from s0, so compose:
-            # s2 = st_ref + (1-m)*(st_deg - s0), with m = 0.1 (BN default).
-            m = 0.1
+            # s2 = st_ref + (1-m)*(st_deg - s0), m = the BN momentum.
+            from .modules import BN_MOMENTUM as m
             new_cnn = (
                 jax.tree_util.tree_map(
                     lambda r, d, s0: r + (1.0 - m) * (d - s0),

@@ -191,6 +191,16 @@ class TrainEngine:
                 return loss, (y_hat, new_bn)
 
             (loss, (y_hat, new_bn)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            # the sinusoidal pos-enc table is a frozen BUFFER in the
+            # reference (registered, never trained); zero its grads so Adam
+            # leaves it fixed and the exported .tar (which regenerates the
+            # pristine table) matches the native checkpoint
+            grads = jax.tree_util.tree_map_with_path(
+                lambda path, g: jnp.zeros_like(g) if any(
+                    getattr(k, "key", None) == "pe" for k in path
+                ) else g,
+                grads,
+            )
             updates, opt_state = opt.update(grads, opt_state)
             params = jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
             return params, opt_state, new_bn, loss, y_hat

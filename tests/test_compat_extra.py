@@ -27,6 +27,21 @@ def test_adaptive_pool_fuzz_vs_torch():
         ).numpy().transpose(0, 2, 3, 1)
         assert np.array_equal(ours, ref), f"mismatch at {(h, w, oh, ow)}"
 
+    # EXPANDING bins (n_out > n_in): torch repeats input positions — the
+    # seg_length=1 geometry the reference supports ("kernel_size[1]=1 can
+    # be used for seg_length=1") pools width 1 up to pool widths 7/5/3
+    for _ in range(15):
+        h = int(rng.integers(1, 8))
+        w = int(rng.integers(1, 4))
+        oh = int(rng.integers(h, 3 * h + 1))
+        ow = int(rng.integers(w, 3 * w + 1))
+        x = rng.standard_normal((2, h, w, 3)).astype(np.float32)
+        ours = np.asarray(adaptive_max_pool2d(x, (oh, ow)))
+        ref = F.adaptive_max_pool2d(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), (oh, ow)
+        ).numpy().transpose(0, 2, 3, 1)
+        assert np.array_equal(ours, ref), f"expand mismatch at {(h, w, oh, ow)}"
+
 
 REF_CONFIGS = sorted(glob.glob("/root/reference/config/*.yaml"))
 

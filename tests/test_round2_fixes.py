@@ -197,3 +197,89 @@ def test_de_bn_running_stats_serial():
     flat_exp = jax.tree_util.tree_leaves(s2)
     for g, e in zip(flat_got, flat_exp):
         np.testing.assert_allclose(np.asarray(g), np.asarray(e), rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# model-review fixes (round 2, second pass)
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_scores_match_torch_on_small_norms():
+    """Pin the EXACT torch nn.CosineSimilarity semantics the reference uses
+    (`NISQA_lib.py:1304`): torch's ATen kernel clamps each norm separately
+    at eps (the docstring's max(||a||*||b||, eps) formula is stale since
+    torch 1.9) — near-silent frames are the distinguishing input."""
+    import torch
+
+    from nisqa_tpu.models.align import _scores
+
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((2, 5, 8)).astype(np.float32)
+    y = rng.standard_normal((2, 7, 8)).astype(np.float32)
+    q[0, 0] *= 1e-5  # near-silent frames
+    y[0, 3] *= 1e-6
+    y[1, 2] = 0.0
+    ours = np.asarray(_scores("cosine", {}, jnp.asarray(q), jnp.asarray(y)))
+    cos = torch.nn.CosineSimilarity(dim=3, eps=1e-8)
+    ref = cos(torch.from_numpy(q)[:, :, None, :], torch.from_numpy(y)[:, None, :, :]).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_pos_enc_buffer_frozen_in_training():
+    """The sinusoidal pe table is a frozen buffer in the reference; a train
+    step must leave it bit-identical (and off the Adam moments)."""
+    from nisqa_tpu.compat.model_args import model_args_from_ckpt_args
+    from nisqa_tpu.models.nisqa import build_model
+    from nisqa_tpu.models.td import positional_encoding_table
+
+    class _Runner:
+        pass
+
+    margs = model_args_from_ckpt_args({"model": "NISQA", "td_sa_pos_enc": True})
+    model = build_model("NISQA", margs)
+    params, state = model.init(jax.random.PRNGKey(0))
+    assert "pe" in params["td"]
+
+    from nisqa_tpu.data.pipeline import MsConfig
+    from nisqa_tpu.train.loop import TrainEngine
+
+    runner = _Runner()
+    runner.model = model
+    runner.params = params
+    runner.state = state
+    runner.ms = MsConfig(margs)
+    runner.args = {"tr_precision": None}
+    runner.mesh = None
+    engine = TrainEngine(runner)
+    step_fn, buf_len = engine._step(1, 8000, runner.ms.buckets()[0], "f32", False)
+
+    rng = np.random.default_rng(0)
+    B = 2
+    n = int(8000 * 0.7)
+    buf = np.zeros((B, buf_len), np.float32)
+    buf[:, : n + 256] = rng.standard_normal((B, n + 256)).astype(np.float32) * 0.1
+    ns = np.full((B,), n, np.int32)
+    y = rng.uniform(1, 5, (B, 1)).astype(np.float32)
+    bias_b = np.zeros((B, 1, 4), np.float32)
+    bias_b[..., 1] = 1.0
+    pe_before = np.asarray(runner.params["td"]["pe"]).copy()
+    new_params, _, _, loss, _ = step_fn(
+        runner.params, engine.opt_state, runner.state,
+        jnp.asarray(y), jnp.asarray(bias_b),
+        jnp.asarray(np.ones(B, bool)), jnp.float32(1e-3),
+        jax.random.PRNGKey(1), jnp.asarray(buf), jnp.asarray(ns),
+    )
+    assert np.isfinite(float(loss))
+    np.testing.assert_array_equal(np.asarray(new_params["td"]["pe"]), pe_before)
+    np.testing.assert_array_equal(pe_before, positional_encoding_table(
+        margs["td_sa_d_model"]))
+
+
+def test_dff_requires_fc_out_h():
+    from nisqa_tpu.compat.model_args import model_args_from_ckpt_args
+    from nisqa_tpu.models.nisqa import build_model
+
+    margs = model_args_from_ckpt_args({"model": "NISQA", "cnn_model": "dff",
+                                       "cnn_fc_out_h": None})
+    with pytest.raises(ValueError, match="cnn_fc_out_h"):
+        build_model("NISQA", margs)
