@@ -113,3 +113,30 @@ def test_fuse_pass_matches_unfused(tmp_path):
     y1 = e1.predict_paths(paths)
     y2 = e2.predict_paths(paths)
     assert np.abs(y1 - y2).max() < 1e-6
+
+
+def test_engine_args_passthrough(tmp_path):
+    """Runtime engine-tuning args (fe_precision, serving_cache_mb) reach the
+    engine through the orchestrator's args dict."""
+    from nisqa_tpu.model import NisqaTPU
+    from tests.test_e2e import TINY_ARGS, _make_ckpt, _write_corpus
+
+    names = _write_corpus(tmp_path, n=2)
+    ckpt = _make_ckpt(tmp_path)
+    args = {
+        **TINY_ARGS,
+        "mode": "predict_dir",
+        "pretrained_model": ckpt,
+        "data_dir": str(tmp_path),
+        "output_dir": None,
+        "tr_bs_val": 2,
+        "tr_num_workers": 0,
+        "fe_precision": "fast",
+        "serving_cache_mb": 64,
+    }
+    runner = NisqaTPU(args)
+    engine = runner._engine()
+    assert engine.fe_precision == "fast"
+    assert engine.cache_mb == 64
+    df = runner.predict()
+    assert np.isfinite(df.mos_pred.to_numpy()).all()
