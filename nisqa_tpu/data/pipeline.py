@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 import os
+import time
 from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 
@@ -79,18 +80,18 @@ class MsConfig:
         return math.ceil(full / self.seg_hop)
 
 
-def _front_end(ms: MsConfig, sr: int, t_bucket: int, frame_chunk: int = 256,
-               transport: str = "f32", pallas_mel: bool = False,
-               fe_fast: bool = False):
+def _front_end(ms: MsConfig, sr: int, t_bucket: int, pallas_mel: bool = False,
+               fe_fast: bool = False, mesh=None):
     """Build the traced front-end: (audio_buf, n_samples) -> (segs, n_wins).
 
     Returns (fn, buf_len). Everything is static-shape; see
     nisqa_tpu/audio/melspec.py for the math/parity notes.
 
-    ``transport='i16'``: the audio buffer arrives as raw PCM16 samples
-    (reflect-padded host-side); the librosa-equivalent 1/32768 scaling is
-    folded into the analysis window, so the float path's values are
-    reproduced exactly while halving host->device bytes.
+    The traced body is transport-agnostic: an i16 audio buffer (raw PCM16
+    samples, reflect-padded host-side) and an f32 buffer flow through the
+    same code — the librosa-equivalent 1/32768 scaling of the i16 path is
+    folded into the DFT weights by :func:`front_end_consts`, so the float
+    path's values are reproduced exactly while halving host->device bytes.
 
     Implementation notes (relay-attached TPU pitfalls, measured — see
     docs/RELAY_NOTES.md):
@@ -149,17 +150,38 @@ def _front_end(ms: MsConfig, sr: int, t_bucket: int, frame_chunk: int = 256,
         if pallas_mel:
             from ..ops.pallas_mel import fused_dft_mel
 
-            # the kernel wants a sublane-aligned row count (N % 8 == 0);
-            # bs=1 with an odd frames_for_bucket violates it, so zero-pad
-            # rows and slice (zero frames cost one extra tile at most)
-            nf = B * n_frames_max
-            fr = frames.reshape(nf, -1)
-            row_pad = (-nf) % 8
-            if row_pad:
-                fr = jnp.pad(fr, ((0, row_pad), (0, 0)))
-            mel = fused_dft_mel(fr, w_re, w_im, fb_t, bf16=fe_fast)[:nf].reshape(
-                B, n_frames_max, ms.n_mels
-            )
+            def mel_block(fr_b, wr, wi, fbt):
+                # the kernel wants a sublane-aligned row count (N % 8 == 0);
+                # bs=1 with an odd frames_for_bucket violates it, so zero-pad
+                # rows and slice (zero frames cost one extra tile at most)
+                b = fr_b.shape[0]
+                nf = b * n_frames_max
+                fr = fr_b.reshape(nf, -1)
+                row_pad = (-nf) % 8
+                if row_pad:
+                    fr = jnp.pad(fr, ((0, row_pad), (0, 0)))
+                return fused_dft_mel(fr, wr, wi, fbt, bf16=fe_fast)[:nf].reshape(
+                    b, n_frames_max, ms.n_mels
+                )
+
+            if mesh is not None:
+                # pallas_call is not auto-partitionable: shard_map over the
+                # 'data' batch axis runs one kernel instance per device on
+                # its local shard (tables replicated), keeping the fused
+                # front-end under data-parallel serving — the TPU analog of
+                # the reference's whole-model nn.DataParallel wrap
+                # (`NISQA_model.py:56-57`). Batch is padded to a mesh
+                # multiple by the engine, so the shard split is exact.
+                from jax.sharding import PartitionSpec as P
+
+                # check_vma off: pallas_call outputs carry no varying-mesh-
+                # axes annotation, which the checker requires
+                mel = jax.shard_map(
+                    mel_block, mesh=mesh, check_vma=False,
+                    in_specs=(P("data"), P(), P(), P()), out_specs=P("data"),
+                )(frames, w_re, w_im, fb_t)
+            else:
+                mel = mel_block(frames, w_re, w_im, fb_t)
         else:
             re = jnp.einsum("bfs,sk->bfk", frames, w_re, precision=dft_prec)
             im = jnp.einsum("bfs,sk->bfk", frames, w_im, precision=dft_prec)
@@ -278,10 +300,10 @@ class InferenceEngine:
         # BASELINE.md A/B table); CPU backends use the XLA einsum path
         # (the kernel would only run interpreted there).
         if pallas_mel is None:
-            # auto: single-device TPU only — pallas_call is not auto-
-            # partitionable, so batches sharded over a mesh keep the XLA
-            # einsum front-end (explicitly passing pallas_mel=True overrides)
-            pallas_mel = mesh is None and jax.devices()[0].platform == "tpu"
+            # auto: on for TPU backends. Under a mesh the kernel runs inside
+            # a shard_map over the 'data' axis (pallas_call is not auto-
+            # partitionable on its own; see _front_end)
+            pallas_mel = jax.devices()[0].platform == "tpu"
         self.pallas_mel = bool(pallas_mel)
         # fuse_pass: compile an entire predict pass (every bucket batch) into
         # ONE executable fed by ONE flat upload -> 3 RPCs per pass. Output-
@@ -344,8 +366,8 @@ class InferenceEngine:
         if key in self._pipelines:
             return self._pipelines[key]
         fe, buf_len = _front_end(
-            self.ms, sr, t_bucket, transport=transport, pallas_mel=self.pallas_mel,
-            fe_fast=(self.fe_precision == "fast"),
+            self.ms, sr, t_bucket, pallas_mel=self.pallas_mel,
+            fe_fast=(self.fe_precision == "fast"), mesh=self.mesh,
         )
         model = self.model
         precision = self.precision
@@ -609,8 +631,6 @@ class InferenceEngine:
         All regimes produce identical outputs. ``fetch=False`` blocks on
         completion and returns None (see :meth:`warmup`).
         """
-        import time
-
         N = len(paths)
         if N == 0:
             return np.zeros((0, 5 if self.model.dim else 1), np.float32) if fetch else None
@@ -622,6 +642,7 @@ class InferenceEngine:
         hit = self._corpus_cache.pop(fp, None) if fp is not None else None
         if hit is not None:
             self._corpus_cache[fp] = hit  # LRU refresh
+            timings = {}
             if hit["mode"] == "fused":
                 all_dev = hit["jitted"](self.params, self.state, hit["consts"],
                                         hit["flat"], hit["ns"])
@@ -631,8 +652,9 @@ class InferenceEngine:
                     (chunk, self._pipeline(*gkey)(self.params, self.state, *args))
                     for gkey, chunk, args in hit["batches"]
                 ]
-                out = self._collect(pending, N, fetch)
-            self._note_pass("cached", N, len(hit["plan"]), t0, t0, time.perf_counter())
+                out = self._collect(pending, N, fetch, timings=timings)
+            self._note_pass("cached", N, len(hit["plan"]), t0, t0,
+                            time.perf_counter(), timings)
             return out
 
         audio = self._scan_transport(paths)
@@ -640,7 +662,6 @@ class InferenceEngine:
         plan = self._plan_for(self._metas_for(audio, audio_ref))
         t_plan = time.perf_counter()
 
-        self._batch_ordinal = 0
         caching = fp is not None
 
         if self._use_fused(plan):
@@ -652,7 +673,7 @@ class InferenceEngine:
             for j, (gkey, chunk) in enumerate(plan):
                 buf, n = self._make_batch(
                     chunk, audio, audio_ref, buf_lens[j], bs, de, gkey[2],
-                    paths=paths, paths_ref=paths_ref,
+                    paths=paths, paths_ref=paths_ref, ordinal=j,
                 )
                 flat[offsets[j] : offsets[j + 1]] = buf.reshape(-1)
                 ns[j * bs : (j + 1) * bs] = n
@@ -669,19 +690,39 @@ class InferenceEngine:
             self._note_pass("fused", N, len(plan), t0, t_plan, time.perf_counter())
             return out
 
-        # Dispatch each batch as soon as it is filled: jit's async transfer
-        # and execution overlap the next batch's host fill. (Constant-free
-        # executables + deferred fetches keep the relay link healthy during
-        # this interleaving; docs/RELAY_NOTES.md.)
+        # Pipelined cold pass: a background filler thread decodes batch j+1
+        # while the main thread transfers/dispatches batch j. The C++ fill
+        # releases the GIL, so decode overlaps the main thread's relay-RPC
+        # waits even on a 1-core host; jit's async transfer and execution
+        # additionally overlap both. (Constant-free executables + deferred
+        # fetches keep the relay link healthy during this interleaving;
+        # docs/RELAY_NOTES.md.)
+        for gkey, _ in plan:
+            self._pipeline(*gkey)  # ensure buf_lens/consts exist before fills
+        timings = {"fill_s": 0.0}
+
+        def _fill(ordinal, gkey, chunk):
+            tf = time.perf_counter()
+            args = self._make_batch(
+                chunk, audio, audio_ref, self._buf_lens[gkey], bs, de, gkey[2],
+                paths=paths, paths_ref=paths_ref, ordinal=ordinal,
+            )
+            timings["fill_s"] += time.perf_counter() - tf
+            return args
+
+        fills = [
+            self._fill_pool().submit(_fill, j, gkey, chunk)
+            for j, (gkey, chunk) in enumerate(plan)
+        ]
         pending = []
         cached_batches = []
-        for gkey, chunk in plan:
-            sr, bucket, kind = gkey
-            run = self._pipeline(sr, bucket, kind)
-            batch_args = self._make_batch(
-                chunk, audio, audio_ref, self._buf_lens[gkey], bs, de, kind,
-                paths=paths, paths_ref=paths_ref,
-            )
+        wait_s = dispatch_s = 0.0
+        for (gkey, chunk), fut in zip(plan, fills):
+            tw = time.perf_counter()
+            batch_args = fut.result()
+            td = time.perf_counter()
+            wait_s += td - tw
+            run = self._pipeline(*gkey)
             if self._data_sharding is not None:
                 batch_args = tuple(jax.device_put(a, self._data_sharding) for a in batch_args)
             elif caching:
@@ -689,18 +730,28 @@ class InferenceEngine:
             if caching:
                 cached_batches.append((gkey, chunk, batch_args))
             pending.append((chunk, run(self.params, self.state, *batch_args)))
+            dispatch_s += time.perf_counter() - td
         if caching:
             self._cache_store(fp, {
                 "mode": "batches", "plan": plan, "batches": cached_batches,
                 "bytes": sum(a.nbytes for _, _, args in cached_batches for a in args),
             })
-        out = self._collect(pending, N, fetch)
-        self._note_pass("interleaved", N, len(plan), t0, t_plan, time.perf_counter())
+        timings.update(wait_s=wait_s, dispatch_s=dispatch_s)
+        out = self._collect(pending, N, fetch, timings=timings)
+        self._note_pass("interleaved", N, len(plan), t0, t_plan,
+                        time.perf_counter(), timings)
         return out
 
-    def _note_pass(self, mode, n_files, n_batches, t0, t_plan, t_end):
+    def _note_pass(self, mode, n_files, n_batches, t0, t_plan, t_end,
+                   timings=None):
         """Serving observability: cumulative + last-pass engine statistics
-        (the reference's only telemetry is tqdm/verbose prints; SURVEY §5)."""
+        (the reference's only telemetry is tqdm/verbose prints; SURVEY §5).
+
+        ``timings`` adds the per-stage decomposition of a pass: scan_plan_s
+        (header scan + batching plan), fill_s (host decode, filler-thread
+        wall), wait_s (main thread blocked on fills), dispatch_s (device_put
+        + dispatch calls), block_s (wait for device completion), fetch_s
+        (device->host readback)."""
         s = self.stats
         s["passes"] += 1
         s["files"] += n_files
@@ -710,21 +761,43 @@ class InferenceEngine:
             "files": n_files,
             "batches": n_batches,
             "wall_s": round(t_end - t0, 4),
-            # decode+scan+plan host time; zero on cache hits
-            "host_prep_s": round(t_plan - t0, 4),
+            # header-scan + plan host time; zero on cache hits
+            "scan_plan_s": round(t_plan - t0, 4),
+            **{k: round(v, 4) for k, v in (timings or {}).items()},
         }
 
-    def _collect(self, pending, N, fetch):
+    def _fill_pool(self):
+        """One background filler thread: decodes/fills batch j+1 while the
+        main thread transfers/dispatches batch j (fills run the GIL-free C++
+        loader, so this overlaps even on a 1-core host). A single thread
+        keeps fills ordered and bounds working memory to the ordinal-keyed
+        buffer pool the pass uses anyway."""
+        ex = getattr(self, "_fill_ex", None)
+        if ex is None:
+            ex = self._fill_ex = ThreadPoolExecutor(1)
+        return ex
+
+    def _collect(self, pending, N, fetch, timings=None):
+        t0 = time.perf_counter()
         if not fetch:
             for _, y in pending:
                 y.block_until_ready()
+            if timings is not None:
+                timings["block_s"] = round(time.perf_counter() - t0, 4)
             return None
         # one device->host fetch for the whole pass: each readback is a
         # costly RPC on relay-attached TPUs, so concatenate on device first
+        # (the concat dispatch is async and rides behind the exec queue)
         if len(pending) > 1:
-            all_y = np.asarray(jnp.concatenate([y for _, y in pending], axis=0))
+            all_dev = jnp.concatenate([y for _, y in pending], axis=0)
         else:
-            all_y = np.asarray(pending[0][1])
+            all_dev = pending[0][1]
+        all_dev.block_until_ready()
+        t1 = time.perf_counter()
+        all_y = np.asarray(all_dev)
+        if timings is not None:
+            timings["block_s"] = round(t1 - t0, 4)
+            timings["fetch_s"] = round(time.perf_counter() - t1, 4)
         out = np.zeros((N, all_y.shape[1]), dtype=np.float32)
         row = 0
         for chunk, y in pending:
@@ -764,8 +837,7 @@ class InferenceEngine:
         fes, consts_list = [], []
         for sr, bucket, kind in plan_keys:
             self._pipeline(sr, bucket, kind)  # ensures consts + buf_lens exist
-            fe, _ = _front_end(self.ms, sr, bucket, transport=kind,
-                               pallas_mel=self.pallas_mel,
+            fe, _ = _front_end(self.ms, sr, bucket, pallas_mel=self.pallas_mel,
                                fe_fast=(self.fe_precision == "fast"))
             fes.append(fe)
             # consts must stay explicit arguments: closed-over arrays embed
@@ -801,13 +873,11 @@ class InferenceEngine:
         return buf
 
     def _make_batch(self, chunk, audio, audio_ref, buf_len, bs, de, kind,
-                    paths=None, paths_ref=None):
-        pad = self.ms.n_fft // 2
+                    paths=None, paths_ref=None, ordinal=0):
         # pooled host buffers are keyed by the batch's ordinal within the
-        # pass, so reuse only happens across passes — a batch's buffer must
-        # outlive its (async) device transfer
-        ordinal = self._batch_ordinal
-        self._batch_ordinal += 1
+        # pass (passed by the caller), so reuse only happens across passes —
+        # a batch's buffer must outlive its (async) device transfer
+        pad = self.ms.n_fft // 2
 
         def fill_i16(source, src_paths):
             # raw PCM16 transport: [left reflect 2048][samples][right reflect

@@ -50,19 +50,24 @@ def _mel_kernel(frames_ref, w_re_ref, w_im_ref, fb_ref, out_ref, *, bf16=False):
 
 def fused_dft_mel(frames, w_re, w_im, fb_kt, tile_f: int | None = None,
                   tile_k: int | None = None, vmem_budget: int = 8 << 20,
-                  bf16: bool = False):
+                  bf16: bool = False, interpret: bool | None = None):
     """frames: (N, span) f32; w_re/w_im: (span, K); fb_kt: (K, M).
 
     Returns mel (N, M) f32 == |frames @ (w_re + i w_im)| @ fb_kt.
     N must be a multiple of 8; K a multiple of 128 (pad with zero columns);
     M <= 128 recommended (one lane tile). ``bf16`` switches the DFT matmuls
     to single-pass bf16 (f32 accumulation) — the engine's fast front-end.
+    ``interpret=None`` auto-selects Pallas interpret mode on non-TPU
+    backends, so the kernel path (incl. its shard_map wrap under a mesh)
+    is testable on the forced-CPU virtual-device test rig.
 
     Tile sizes auto-shrink to fit ``vmem_budget`` (double-buffered blocks +
     headroom for the output, which XLA may also place in VMEM): large spans
     (e.g. the 48 kHz / 20 ms window = 1440 samples) blow the 16 MB scoped
     VMEM limit at the 256x512 default, observed on the TTS geometry.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     n, span = frames.shape
     k_total = w_re.shape[1]
     m = fb_kt.shape[1]
@@ -94,6 +99,7 @@ def fused_dft_mel(frames, w_re, w_im, fb_kt, tile_f: int | None = None,
             pl.BlockSpec((tile_k, m), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_f, m), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(frames, w_re, w_im, fb_kt)
 
 

@@ -40,6 +40,10 @@ class EarlyStopper:
 class EarlyStopperDim:
     """Tracks r_p + mapped RMSE for all five targets (10 stats)."""
 
+    # check order matches the reference's earlyStopper_dim listing exactly:
+    # mos, noi, col, dis, loud (`NISQA_lib.py:1982-1992, 2002-2038`); the
+    # order has no behavioral effect (every stat is checked each step) but
+    # is kept identical for line-by-line parity review
     _SUFFIXES = ("", "_noi", "_col", "_dis", "_loud")
 
     def __init__(self, patience: int):

@@ -136,7 +136,7 @@ class TrainEngine:
             return self._step_cache[key]
         from ..data.pipeline import front_end_consts
 
-        fe, buf_len = _front_end(self.ms, sr, bucket, transport=kind)
+        fe, buf_len = _front_end(self.ms, sr, bucket)
         consts = jax.device_put(front_end_consts(self.ms, sr, kind))
         model = self.model
         opt = self.opt
@@ -223,7 +223,17 @@ class TrainEngine:
             return e[1].astype(np.float32) / 32768.0
         return e[1]
 
-    def _fill_rows_f32(self, buf, items, entries, paths, load):
+    def _preload_threads(self):
+        """Thread count for the one-time corpus preload. Honors the
+        reference's ``tr_ds_to_memory_workers`` arg (Pool size of its
+        `_to_memory` RAM preload, `NISQA_model.py:886` ->
+        `NISQA_lib.py:2109-2127`); 0/None falls back to tr_num_workers."""
+        w = self.runner.args.get("tr_ds_to_memory_workers")
+        if w:
+            return max(1, int(w))
+        return max(1, int(self.runner.args.get("tr_num_workers") or 4))
+
+    def _fill_rows_f32(self, buf, items, entries, paths, load, n_threads=None):
         """Fill float32 transport rows for ``items`` = [(row_j, file_i)].
 
         Natively-scanned entries ride the threaded C++ decoder
@@ -243,9 +253,11 @@ class TrainEngine:
             # order (the common case); scratch block otherwise
             direct = len(nat) == buf.shape[0] and all(j == r for r, (j, _) in enumerate(nat))
             target = buf if direct else np.zeros((len(nat), buf.shape[1]), np.float32)
+            if n_threads is None:
+                n_threads = max(1, int(self.runner.args.get("tr_num_workers") or 4))
             ns, srs, status = native.fill_batch_f32(
                 [paths[i] for _, i in nat], target, pad, channel=ms.channel,
-                n_threads=max(1, int(self.runner.args.get("tr_num_workers") or 4)),
+                n_threads=n_threads,
             )
             for row, (j, i) in enumerate(nat):
                 if status[row] == 0:
@@ -298,7 +310,7 @@ class TrainEngine:
             bucket = next(b for b in ms.buckets() if max_nw <= b)
             kind = ("i16" if not de and all(entries[i][0] == "native" for i in gidx)
                     else "f32")
-            _, buf_len = _front_end(ms, sr, bucket, transport=kind)
+            _, buf_len = _front_end(ms, sr, bucket)
             itemsize = 2 if kind == "i16" else 4
             nbytes = len(gidx) * buf_len * itemsize * (2 if de else 1)
             if nbytes > budget:
@@ -311,7 +323,7 @@ class TrainEngine:
                     buf = np.zeros((len(gidx), buf_len), dtype=np.int16)
                     ns, srs, status = native.fill_batch_i16(
                         [pths[i] for i in gidx], buf, ms.n_fft // 2,
-                        n_threads=max(1, int(self.runner.args.get("tr_num_workers") or 4)),
+                        n_threads=self._preload_threads(),
                     )
                     if (status == 0).all():
                         for j, i in enumerate(gidx):
@@ -320,7 +332,8 @@ class TrainEngine:
                         return buf, ns.astype(np.int32)
                 buf = np.zeros((len(gidx), buf_len), dtype=np.float32)
                 n_of_row = self._fill_rows_f32(
-                    buf, list(enumerate(gidx)), ents, pths, load
+                    buf, list(enumerate(gidx)), ents, pths, load,
+                    n_threads=self._preload_threads(),
                 )
                 ns = np.array([n_of_row[j] for j in range(len(gidx))], np.int32)
                 return buf, ns

@@ -65,6 +65,36 @@ def test_fused_dft_mel_interpret():
     assert rel.max() < 0.05, "bf16 DFT should stay within ~1% of exact mel"
 
 
+def test_pallas_front_end_under_mesh_matches_single(tmp_path):
+    """The Pallas DFT->mel kernel wrapped in shard_map over the 'data' mesh
+    axis (round-3 addition: previously pallas auto-disabled under a mesh)
+    must produce predictions identical to the single-device XLA path.
+    Interpret mode on the 8-virtual-device CPU mesh; the kernel itself is
+    the same code the TPU runs compiled."""
+    import jax
+    import numpy as np
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from tests.test_e2e import _make_ckpt, _write_corpus
+    from nisqa_tpu.compat.torch_ckpt import load_model_from_tar
+    from nisqa_tpu.data.pipeline import InferenceEngine, MsConfig
+    from nisqa_tpu.parallel.mesh import make_mesh
+
+    names = _write_corpus(tmp_path, n=8)
+    ckpt = _make_ckpt(tmp_path)
+    model, params, state, args = load_model_from_tar(ckpt)
+    paths = [str(tmp_path / n) for n in names]
+    y_single = InferenceEngine(model, params, state, MsConfig(args), batch_size=8,
+                               num_workers=1).predict_paths(paths)
+    mesh = make_mesh()
+    eng = InferenceEngine(model, params, state, MsConfig(args), batch_size=8,
+                          num_workers=1, mesh=mesh, pallas_mel=True)
+    assert eng.pallas_mel and eng.mesh is not None
+    y_mesh = eng.predict_paths(paths)
+    np.testing.assert_allclose(y_mesh, y_single, atol=1e-5)
+
+
 def test_engine_fast_fe_close_to_exact(tmp_path):
     """fe_precision='fast' must produce predictions close to the exact
     front-end (identical on CPU where DEFAULT precision is f32; the real
