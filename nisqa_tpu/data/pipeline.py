@@ -780,8 +780,13 @@ class InferenceEngine:
     def _collect(self, pending, N, fetch, timings=None):
         t0 = time.perf_counter()
         if not fetch:
-            for _, y in pending:
-                y.block_until_ready()
+            # concat on device and block ONCE: blocking each batch result is
+            # one sync RPC apiece on relay-attached TPUs (measured 12 blocks
+            # = 0.35 s vs one concat+block = 0.16 s on the 384-file corpus)
+            if len(pending) > 1:
+                jnp.concatenate([y for _, y in pending], axis=0).block_until_ready()
+            else:
+                pending[0][1].block_until_ready()
             if timings is not None:
                 timings["block_s"] = round(time.perf_counter() - t0, 4)
             return None

@@ -311,8 +311,14 @@ class TrainEngine:
             kind = ("i16" if not de and all(entries[i][0] == "native" for i in gidx)
                     else "f32")
             _, buf_len = _front_end(ms, sr, bucket)
+            # pad the corpus row count to a 64 granularity: the fused gather
+            # train step traces on the corpus array's shape, so padding makes
+            # the compiled executable reusable across corpora of similar
+            # size (first-epoch remote compiles cost ~20 min/shape on this
+            # relay, docs/RELAY_NOTES.md). Pad rows are never gathered.
+            n_rows = -(-len(gidx) // 64) * 64
             itemsize = 2 if kind == "i16" else 4
-            nbytes = len(gidx) * buf_len * itemsize * (2 if de else 1)
+            nbytes = n_rows * buf_len * itemsize * (2 if de else 1)
             if nbytes > budget:
                 continue
 
@@ -320,9 +326,9 @@ class TrainEngine:
                 if kind == "i16":
                     from ..data import native
 
-                    buf = np.zeros((len(gidx), buf_len), dtype=np.int16)
+                    buf = np.zeros((n_rows, buf_len), dtype=np.int16)
                     ns, srs, status = native.fill_batch_i16(
-                        [pths[i] for i in gidx], buf, ms.n_fft // 2,
+                        [pths[i] for i in gidx], buf[: len(gidx)], ms.n_fft // 2,
                         n_threads=self._preload_threads(),
                     )
                     if (status == 0).all():
@@ -330,9 +336,9 @@ class TrainEngine:
                             validate_filled_row(ms, pths[i], ns[j],
                                                 ents[i][2], srs[j])
                         return buf, ns.astype(np.int32)
-                buf = np.zeros((len(gidx), buf_len), dtype=np.float32)
+                buf = np.zeros((n_rows, buf_len), dtype=np.float32)
                 n_of_row = self._fill_rows_f32(
-                    buf, list(enumerate(gidx)), ents, pths, load,
+                    buf[: len(gidx)], list(enumerate(gidx)), ents, pths, load,
                     n_threads=self._preload_threads(),
                 )
                 ns = np.array([n_of_row[j] for j in range(len(gidx))], np.int32)
@@ -342,7 +348,7 @@ class TrainEngine:
             if buf.dtype == np.float32 and kind == "i16":
                 # rare native-fill race: keep the f32 rows, rebuild consts kind
                 kind = "f32"
-                nbytes = len(gidx) * buf_len * 4
+                nbytes = n_rows * buf_len * 4
                 if nbytes > budget:
                     continue
             entry = {

@@ -34,4 +34,4 @@ def test_preload_threads_falls_back_to_num_workers():
 
 def test_front_end_has_no_dead_params():
     params = set(inspect.signature(_front_end).parameters)
-    assert params == {"ms", "sr", "t_bucket", "pallas_mel", "fe_fast"}
+    assert params == {"ms", "sr", "t_bucket", "pallas_mel", "fe_fast", "mesh"}

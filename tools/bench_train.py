@@ -9,6 +9,15 @@ on device; per-epoch train eval + full validation inference pass included,
 exactly like `_train_mos`, `/root/reference/nisqa/NISQA_model.py:83-230`).
 
 Prints one JSON line.
+
+Options (VERDICT round 2, next #6):
+  --files N        corpus size (default 96; 384 = the serving bench corpus)
+  --precision P    tr_precision A/B: 'highest' (train default) | 'default'
+                   (fast bf16-pass matmuls)
+  --learnable      label MOS by each file's dominant pitch instead of random
+                   noise, so final val r_p/RMSE are meaningful for the
+                   precision A/B (reported in the JSON either way)
+  --epochs N       epochs (default 4)
 """
 
 import json
@@ -23,21 +32,53 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import make_corpus  # noqa: E402
 
-# the train bench stays on the recorded 96-file corpus regardless of
-# bench.py's default serving-corpus size (the 80/16 split below assumes it)
-CORPUS_DIR = "/tmp/nisqa_bench_corpus_v2"
+
+def _corpus_dir(n_files):
+    return ("/tmp/nisqa_bench_corpus_v2" if n_files == 96
+            else f"/tmp/nisqa_bench_corpus_v2_{n_files}")
+
+
+def _learnable_mos(paths):
+    """MOS from the file's dominant pitch (the synthesis f0 is 100-300 Hz):
+    a spectral property the CNN front-end can actually learn, mapped to
+    [1, 5]. Estimated, not replayed from the generator, so labels stay
+    honest to what is in the audio."""
+    from nisqa_tpu.audio.wav import read_wav
+
+    mos = []
+    for p in paths:
+        y, sr = read_wav(p)
+        seg = y[: int(0.5 * sr)].astype(np.float64)
+        spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        lo, hi = int(80 * len(seg) / sr), int(350 * len(seg) / sr)
+        f0 = (lo + int(np.argmax(spec[lo:hi]))) * sr / len(seg)
+        mos.append(float(np.clip(1.0 + 4.0 * (f0 - 100.0) / 200.0, 1.0, 5.0)))
+    return np.round(mos, 2)
 
 
 def main():
-    total_sec, paths = make_corpus(CORPUS_DIR, n_files=96)
+    argv = sys.argv[1:]
+
+    def opt(name, default=None):
+        return argv[argv.index(name) + 1] if name in argv else default
+
+    n_files = int(opt("--files", 96))
+    precision = opt("--precision")
+    learnable = "--learnable" in argv
+    n_epochs = int(opt("--epochs", 4))
+    corpus_dir = _corpus_dir(n_files)
+
+    total_sec, paths = make_corpus(corpus_dir, n_files=n_files)
     names = [os.path.basename(p) for p in paths]
+    n_train = n_files * 5 // 6
     rng = np.random.default_rng(0)
     df = pd.DataFrame({
         "deg": names,
-        "db": ["train"] * 80 + ["val"] * 16,
-        "mos": rng.uniform(1.0, 5.0, len(names)).round(2),
+        "db": ["train"] * n_train + ["val"] * (n_files - n_train),
+        "mos": (_learnable_mos(paths) if learnable
+                else rng.uniform(1.0, 5.0, len(names)).round(2)),
     })
-    csv_path = os.path.join(CORPUS_DIR, "train_bench.csv")
+    csv_path = os.path.join(corpus_dir, "train_bench.csv")
     df.to_csv(csv_path, index=False)
 
     out_dir = "/tmp/nisqa_train_bench_out"
@@ -50,23 +91,28 @@ def main():
     args = dict(ckpt["args"])  # full standard architecture + ms geometry
     args.update({
         "mode": "main", "name": "trbench", "model": "NISQA",
-        "pretrained_model": False, "data_dir": CORPUS_DIR,
+        "pretrained_model": False, "data_dir": corpus_dir,
         "output_dir": out_dir, "csv_file": "train_bench.csv",
         "csv_deg": "deg", "csv_mos_train": "mos", "csv_mos_val": "mos",
         "csv_db_train": ["train"], "csv_db_val": ["val"], "csv_con": None,
         "csv_ref": None,
-        "tr_epochs": 4, "tr_early_stop": 50, "tr_bs": 32, "tr_bs_val": 32,
+        "tr_epochs": n_epochs, "tr_early_stop": 50, "tr_bs": 32, "tr_bs_val": 32,
         "tr_lr": 1e-3, "tr_lr_patience": 15, "tr_num_workers": 8,
         "tr_parallel": False, "tr_checkpoint": "best_only", "tr_verbose": 0,
         "tr_bias_mapping": None, "tr_bias_min_r": None,
         "tr_bias_anchor_db": None, "tr_ds_to_memory": True, "seed": 0,
+        # device corpus cap must hold the full train split at 384 files
+        # (~6 MB/file of padded i16): scale with the corpus like bench.py
+        "tr_device_cache_mb": max(1024, n_files * 6),
     })
+    if precision:
+        args["tr_precision"] = precision
 
     from nisqa_tpu.model import NisqaTPU
     from nisqa_tpu.train import loop as train_loop
 
     train_audio = sum(
-        os.path.getsize(p) for p in paths[:80]
+        os.path.getsize(p) for p in paths[:n_train]
     ) / (2 * 48000)  # PCM16 mono 48 kHz
 
     epoch_times = []
@@ -90,13 +136,33 @@ def main():
     CPU_TRAIN_BASELINE = 12.5
     best_epoch = min(epoch_times[1:]) if len(epoch_times) > 1 else epoch_times[0]
     value = train_audio / best_epoch
+
+    # final val metrics from the run's results CSV (meaningful when
+    # --learnable; near-zero r_p expected with random labels)
+    final = {}
+    runs = sorted(os.listdir(out_dir), key=lambda d: os.path.getmtime(
+        os.path.join(out_dir, d)))
+    for d in reversed(runs):
+        csvs = [f for f in os.listdir(os.path.join(out_dir, d))
+                if f.endswith("__results.csv")]
+        if csvs:
+            hist = pd.read_csv(os.path.join(out_dir, d, csvs[0]))
+            final = {
+                "final_val_r_p": round(float(hist["r_p_mean_file"].iloc[-1]), 4),
+                "final_val_rmse_map": round(float(hist["rmse_map_mean_file"].iloc[-1]), 4),
+            }
+            break
+
     print(json.dumps({
         "metric": "train_epoch_throughput_nisqa_bs32",
         "value": round(value, 2),
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(value / CPU_TRAIN_BASELINE, 2),
         "epoch_sec_best": round(best_epoch, 2),
-        "full_loop_sec_4ep": round(wall, 1),
+        "files": n_files,
+        "tr_precision": precision or "highest",
+        f"full_loop_sec_{n_epochs}ep": round(wall, 1),
+        **final,
     }))
 
 

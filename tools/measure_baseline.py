@@ -8,6 +8,14 @@ CPU, eval mode — i.e. the `predict_dir` call stack of
 `/root/reference/nisqa/NISQA_lib.py:1441-1467`.
 
 Result goes to BASELINE.md and is the `vs_baseline` denominator in bench.py.
+
+``--cached``: measure the reference's RAM-cached steady state instead — mel
+specs precomputed once into memory (the reference's own `_to_memory`
+preload, `NISQA_lib.py:2109-2127`, which its predict mode never uses but a
+val-loop pass would), then repeated DataLoader passes doing only
+segment_specs + padding + forward; best pass reported. This is the
+strongest honest CPU denominator for the TPU engine's CACHED serving
+number (VERDICT round 2, weak #3).
 """
 
 import os
@@ -40,22 +48,33 @@ def make_corpus(out_dir, n_files=96, seed=0):
 
 
 class RefStyleDataset(Dataset):
-    def __init__(self, paths, args):
+    def __init__(self, paths, args, to_memory=False):
         self.paths = paths
         self.args = args
+        # reference `_to_memory` semantics (`NISQA_lib.py:2109-2127`): the
+        # MEL SPEC is cached; __getitem__ still runs segment_specs + pad
+        self.mem = [None] * len(paths) if to_memory else None
 
     def __len__(self):
         return len(self.paths)
 
-    def __getitem__(self, i):
+    def _spec(self, i):
+        if self.mem is not None and self.mem[i] is not None:
+            return self.mem[i]
         a = self.args
         y, sr = read_wav(self.paths[i])
         spec = melspec_np(
             y, sr, n_fft=a["ms_n_fft"], hop_s=a["ms_hop_length"],
             win_s=a["ms_win_length"], n_mels=a["ms_n_mels"], fmax=a["ms_fmax"],
         )
+        if self.mem is not None:
+            self.mem[i] = spec
+        return spec
+
+    def __getitem__(self, i):
+        a = self.args
         x, n_wins = NL.segment_specs(
-            self.paths[i], torch.from_numpy(spec), a["ms_seg_length"],
+            self.paths[i], torch.from_numpy(self._spec(i)), a["ms_seg_length"],
             a["ms_seg_hop_length"], a["ms_max_segments"],
         )
         return x, np.array(n_wins)
@@ -75,26 +94,41 @@ def main():
     model.eval()
 
     tmp = tempfile.mkdtemp(prefix="nisqa_bench_ref_")
-    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 96
-    workers = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    argv = [a for a in sys.argv[1:] if a != "--cached"]
+    cached = "--cached" in sys.argv
+    n_files = int(argv[0]) if argv else 96
+    workers = int(argv[1]) if len(argv) > 1 else 8
     paths, total_sec = make_corpus(tmp, n_files)
-    ds = RefStyleDataset(paths, args)
-    dl = DataLoader(ds, batch_size=32, shuffle=False, num_workers=workers)
+    ds = RefStyleDataset(paths, args, to_memory=cached)
+    # cached mode: workers must be 0 — DataLoader worker processes would
+    # each re-derive (and discard) the cache, which is also why the
+    # reference pairs its _to_memory preload with num_workers=0 epochs
+    dl = DataLoader(ds, batch_size=32, shuffle=False,
+                    num_workers=0 if cached else workers)
 
     # warmup (one batch through the model)
     xb, nw = next(iter(DataLoader(ds, batch_size=2, num_workers=0)))
     with torch.no_grad():
         model(xb, nw)
 
-    tic = time.time()
-    outs = []
-    with torch.no_grad():
-        for xb, nw in dl:
-            outs.append(model(xb, nw).numpy())
-    wall = time.time() - tic
-    out = np.concatenate(outs)
+    if cached:
+        for i in range(len(ds)):  # preload specs into RAM (untimed)
+            ds._spec(i)
+
+    walls, out = [], None
+    for _ in range(3 if cached else 1):
+        tic = time.time()
+        outs = []
+        with torch.no_grad():
+            for xb, nw in dl:
+                outs.append(model(xb, nw).numpy())
+        walls.append(time.time() - tic)
+        out = np.concatenate(outs)
+    wall = min(walls)
+    mode = "CACHED mels (_to_memory steady state)" if cached else "cold"
     print(f"files={len(paths)} audio={total_sec:.1f}s wall={wall:.2f}s "
-          f"throughput={total_sec / wall:.2f} audio-sec/sec (workers={workers})")
+          f"throughput={total_sec / wall:.2f} audio-sec/sec "
+          f"(workers={dl.num_workers}, {mode})")
     print("first preds:", out[:2, 0])
 
 

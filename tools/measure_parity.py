@@ -7,6 +7,12 @@ BASELINE.json criterion is MAE < 0.01 absolute.
 
 Usage: python tools/measure_parity.py [n_files] [precision] [fe_precision]
 (fe_precision: 'exact' default | 'fast' = bf16 single-pass DFT)
+
+``--corpus``: the corpus-scale run (VERDICT round 2, weak #1 / next #2) —
+nisqa.tar + nisqa_mos_only.tar over the FULL 384-file bench corpus at both
+'exact' and 'fast' front-end precision, and nisqa_tts.tar over 32 long
+(10-40 s, seg_hop=1) TTS clips; reports MAE, max-abs AND Pearson r per
+config. Results go to BASELINE.md.
 """
 
 import os
@@ -18,6 +24,7 @@ import numpy as np
 sys.modules.setdefault("librosa", types.ModuleType("librosa"))
 sys.path.insert(0, "/root/reference")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # tools/ (bench_tts)
 
 import torch  # noqa: E402
 
@@ -63,9 +70,51 @@ def reference_predict(tar, model_name, paths):
     return np.stack(outs)
 
 
+def _compare(tar, name, paths, precision, fe_precision, bs=8, ref_cache={}):
+    model, params, state, args = load_model_from_tar(f"/root/reference/weights/{tar}")
+    engine = InferenceEngine(
+        model, params, state, MsConfig(args), batch_size=bs, num_workers=4,
+        precision=precision, fe_precision=fe_precision,
+    )
+    ours = engine.predict_paths(paths)
+    key = (tar, tuple(paths))
+    if key not in ref_cache:  # torch-CPU pass is the slow side; reuse across fe modes
+        ref_cache[key] = reference_predict(tar, name, paths)
+    ref = ref_cache[key]
+    diff = np.abs(ours - ref)
+    r = np.corrcoef(ours[:, 0], ref[:, 0])[0, 1]
+    print(
+        f"{tar:22s} n={len(paths):3d} precision={precision:8s} fe={fe_precision:5s} "
+        f"MOS MAE={diff[:, 0].mean():.5f} max(all dims)={diff.max():.5f} "
+        f"pearson_r(MOS)={r:.6f}"
+    )
+
+
+def corpus_scale():
+    """384-file + long-TTS parity measurement (run on the real TPU)."""
+    from bench import CORPUS_DIR, make_corpus
+
+    make_corpus(CORPUS_DIR)
+    paths = sorted(
+        os.path.join(CORPUS_DIR, f) for f in os.listdir(CORPUS_DIR) if f.endswith(".wav")
+    )
+    print(f"== corpus-scale parity: {len(paths)} bench files ==")
+    for tar, name in (("nisqa.tar", "NISQA_DIM"), ("nisqa_mos_only.tar", "NISQA")):
+        for fe in ("exact", "fast"):
+            _compare(tar, name, paths, "default", fe, bs=32)
+
+    from bench_tts import make_corpus as make_tts
+
+    _, tts_paths = make_tts(n_files=32)
+    print(f"== long-clip TTS parity: {len(tts_paths)} files of 10-40 s ==")
+    _compare("nisqa_tts.tar", "NISQA", tts_paths, "default", "exact", bs=8)
+
+
 def main():
     from bench import CORPUS_DIR, make_corpus
 
+    if "--corpus" in sys.argv:
+        return corpus_scale()
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     precision = sys.argv[2] if len(sys.argv) > 2 else "default"
     fe_precision = sys.argv[3] if len(sys.argv) > 3 else "exact"
@@ -73,20 +122,8 @@ def main():
     paths = sorted(
         os.path.join(CORPUS_DIR, f) for f in os.listdir(CORPUS_DIR) if f.endswith(".wav")
     )[:n_files]
-
     for tar, name in TARS.items():
-        model, params, state, args = load_model_from_tar(f"/root/reference/weights/{tar}")
-        engine = InferenceEngine(
-            model, params, state, MsConfig(args), batch_size=8, num_workers=4,
-            precision=precision, fe_precision=fe_precision,
-        )
-        ours = engine.predict_paths(paths)
-        ref = reference_predict(tar, name, paths)
-        diff = np.abs(ours - ref)
-        print(
-            f"{tar:22s} precision={precision:8s} fe={fe_precision:5s} "
-            f"MOS MAE={diff[:, 0].mean():.5f} max(all dims)={diff.max():.5f}"
-        )
+        _compare(tar, name, paths, precision, fe_precision)
 
 
 if __name__ == "__main__":
