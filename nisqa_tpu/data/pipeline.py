@@ -532,7 +532,7 @@ class InferenceEngine:
                 plan.append(((sr, bucket, kind), [i for _, i in chunk]))
         return plan
 
-    def warmup(self, paths, paths_ref=None):
+    def warmup(self, paths, paths_ref=None, prime_fetch=False):
         """Compile + execute each pipeline shape these paths need, once, on
         dummy zero batches, with NO device->host result fetch.
 
@@ -540,6 +540,16 @@ class InferenceEngine:
         readback of a process degrades later host->device bandwidth ~40x
         (docs/RELAY_NOTES.md); executing constant-free jit executables is
         clean. On directly-attached hardware this is an ordinary warmup.
+
+        ``prime_fetch=True`` additionally performs one tiny device->host
+        readback at the END of warmup: on this relay the FIRST readback of a
+        process costs ~270-650 s one-time (RELAY_NOTES round 3) — a serving
+        deployment doing many fetching passes should eat that during
+        startup, not on the first user request. (It also switches the
+        process into the degraded-upload regime, so single-pass processes —
+        the CLI predict path — should leave it off: their one pass then
+        uploads at full speed and pays the first-fetch cost only once,
+        where it is unavoidable anyway.)
         """
         ms = self.ms
         de = self.model.double_ended
@@ -583,6 +593,9 @@ class InferenceEngine:
             for j, (sr, bucket, kind) in enumerate(plan_keys):
                 ns[j * self.batch_size : (j + 1) * self.batch_size] = full_n(sr, bucket)
             jitted(self.params, self.state, consts_tuple, flat, ns).block_until_ready()
+
+        if prime_fetch:
+            np.asarray(jnp.zeros((1,), jnp.float32))
 
     def _use_fused(self, plan):
         return (

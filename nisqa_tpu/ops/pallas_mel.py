@@ -32,20 +32,28 @@ def _mel_kernel(frames_ref, w_re_ref, w_im_ref, fb_ref, out_ref, *, bf16=False):
     f = frames_ref[:]  # (tile_f, span)
     wr, wi = w_re_ref[:], w_im_ref[:]
     if bf16:
-        # fast mode: single-pass bf16 MXU matmuls with f32 accumulation
-        # (vs the exact mode's f32 multi-pass); parity bound measured in
-        # BASELINE.md, opt-in via InferenceEngine(fe_precision='fast').
-        # The DEFAULT precision must be pinned explicitly: an inherited
-        # fp32 contract precision on bf16 operands is rejected by Mosaic
-        # ("Bad lhs type").
+        # fast mode: single-pass bf16 MXU matmuls with f32 accumulation;
+        # parity bound measured in BASELINE.md, opt-in via
+        # InferenceEngine(fe_precision='fast'). The DEFAULT precision must
+        # be pinned explicitly: an inherited fp32 contract precision on
+        # bf16 operands is rejected by Mosaic ("Bad lhs type").
         f, wr, wi = (a.astype(jnp.bfloat16) for a in (f, wr, wi))
         prec = jax.lax.Precision.DEFAULT
     else:
-        prec = None
+        # exact mode: the f32 multi-pass contraction must be PINNED, not
+        # inherited — the serving engine wraps the whole pass in
+        # default_matmul_precision('default'), under which an unpinned f32
+        # dot truncates to one bf16 pass on the MXU. Round-3 finding: this
+        # made 'exact' silently equal 'fast' on TPU (measured identical
+        # outputs over 384 files) until pinned here.
+        prec = jax.lax.Precision.HIGHEST
     re = jnp.dot(f, wr, preferred_element_type=jnp.float32, precision=prec)
     im = jnp.dot(f, wi, preferred_element_type=jnp.float32, precision=prec)
     mag = jnp.sqrt(re * re + im * im)  # (tile_f, tile_k)
-    out_ref[:] += jnp.dot(mag, fb_ref[:], preferred_element_type=jnp.float32)
+    # the mel projection is f32 x f32 in both modes; pin HIGHEST to mirror
+    # the XLA einsum path (pipeline._front_end), which always does
+    out_ref[:] += jnp.dot(mag, fb_ref[:], preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
 
 
 def fused_dft_mel(frames, w_re, w_im, fb_kt, tile_f: int | None = None,

@@ -35,3 +35,36 @@ def test_preload_threads_falls_back_to_num_workers():
 def test_front_end_has_no_dead_params():
     params = set(inspect.signature(_front_end).parameters)
     assert params == {"ms", "sr", "t_bucket", "pallas_mel", "fe_fast", "mesh"}
+
+
+def test_pass_stage_timings_and_prime_fetch(tmp_path):
+    """The pipelined pass records its per-stage decomposition (round-3
+    serving observability) and prime_fetch warmup performs the first
+    readback up front; fetch=False drains without returning output."""
+    import numpy as np
+
+    from tests.test_e2e import _make_ckpt, _write_corpus
+    from nisqa_tpu.compat.torch_ckpt import load_model_from_tar
+    from nisqa_tpu.data.pipeline import InferenceEngine, MsConfig
+
+    names = _write_corpus(tmp_path, n=5)
+    model, params, state, args = load_model_from_tar(_make_ckpt(tmp_path))
+    eng = InferenceEngine(model, params, state, MsConfig(args), batch_size=2,
+                          num_workers=1)
+    paths = [str(tmp_path / n) for n in names]
+    eng.warmup(paths, prime_fetch=True)
+
+    assert eng.predict_paths(paths, fetch=False) is None
+    assert eng.stats["last"]["mode"] == "interleaved"
+    assert eng.predict_paths(paths, fetch=False) is None
+    assert eng.stats["last"]["mode"] == "cached"  # drain populated the cache
+    # cold-pass stage decomposition keys (skip the cached fast path)
+    eng2 = InferenceEngine(model, params, state, MsConfig(args), batch_size=2,
+                           num_workers=1, cache_mb=0)
+    y = eng2.predict_paths(paths)
+    assert np.isfinite(y).all()
+    last = eng2.stats["last"]
+    assert last["mode"] == "interleaved"
+    for k in ("scan_plan_s", "fill_s", "wait_s", "dispatch_s", "block_s",
+              "fetch_s", "wall_s"):
+        assert k in last and last[k] >= 0.0, (k, last)
