@@ -100,9 +100,9 @@ def _run(warm_only=False):
         # of padded i16 at 3-30 s / 48 kHz)
         cache_mb=(0 if os.environ.get("NISQA_BENCH_NOCACHE")
                   else max(512, N_FILES * 6)),
-        # NISQA_BENCH_FE=fast: bf16 single-pass DFT (A/B; parity bound in
-        # BASELINE.md). Default exact.
-        fe_precision=os.environ.get("NISQA_BENCH_FE") or "exact",
+        # NISQA_BENCH_FE=exact|fast A/B override; default None = engine
+        # auto ('fast' at default precision — parity bound in BASELINE.md)
+        fe_precision=os.environ.get("NISQA_BENCH_FE") or None,
     )
 
     # warmup compiles (persistent-cache-backed) + executes, no result fetch

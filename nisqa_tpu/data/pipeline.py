@@ -274,7 +274,7 @@ class InferenceEngine:
     def __init__(self, model, params, state, ms: MsConfig, batch_size: int = 32,
                  mesh=None, num_workers: int = 8, precision: str = "default",
                  pallas_mel: bool | None = None, fuse_pass: bool = False,
-                 cache_mb: int = 512, fe_precision: str = "exact"):
+                 cache_mb: int = 512, fe_precision: str | None = None):
         self.model = model
         self.ms = ms
         self.batch_size = int(batch_size)
@@ -312,9 +312,17 @@ class InferenceEngine:
         # one large in-dispatch transfer); kept as an option for
         # direct-attached hardware and fixed-corpus serving.
         self.fuse_pass = fuse_pass
-        # front-end precision: 'exact' (default) = f32 multi-pass DFT,
-        # bit-stable vs librosa; 'fast' = single-pass bf16 DFT with f32
-        # accumulation — measured MOS bound in BASELINE.md before trusting
+        # front-end precision: 'exact' = f32 multi-pass DFT (bit-stable vs
+        # librosa); 'fast' = single-pass bf16 DFT with f32 accumulation.
+        # None (default) = auto: follow the ENGINE precision — 'exact' under
+        # precision='highest' (the <1e-4 parity mode; also what TTS/LSTM
+        # auto-upgrades use), 'fast' otherwise. Round-3 hardware A/B
+        # (BASELINE.md): at default engine precision the model's own
+        # bf16-pass matmuls dominate the parity residual, so exact-vs-fast
+        # is unmeasurable end-to-end (corpus-scale MAE 0.0015 either way)
+        # while the f32 DFT costs ~37% of cached throughput.
+        if fe_precision is None:
+            fe_precision = "exact" if self.precision == "highest" else "fast"
         if fe_precision not in ("exact", "fast"):
             raise ValueError(f"fe_precision must be 'exact' or 'fast', got {fe_precision!r}")
         self.fe_precision = fe_precision

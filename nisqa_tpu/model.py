@@ -114,7 +114,7 @@ class NisqaTPU:
                 # keeps the default; explicit 0 disables the cache)
                 cache_mb=(512 if args.get("serving_cache_mb") is None
                           else args["serving_cache_mb"]),
-                fe_precision=args.get("fe_precision") or "exact",
+                fe_precision=args.get("fe_precision"),  # None = engine auto
             )
         else:
             self._engine_cache.update_params(self.params, self.state)

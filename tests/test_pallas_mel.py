@@ -85,11 +85,15 @@ def test_pallas_front_end_under_mesh_matches_single(tmp_path):
     ckpt = _make_ckpt(tmp_path)
     model, params, state, args = load_model_from_tar(ckpt)
     paths = [str(tmp_path / n) for n in names]
+    # fe pinned 'exact' on both sides: the auto default resolves to 'fast',
+    # whose bf16 casts are real even in interpret mode while the CPU einsum
+    # fast path stays f32 — this test isolates the shard_map wrap only
     y_single = InferenceEngine(model, params, state, MsConfig(args), batch_size=8,
-                               num_workers=1).predict_paths(paths)
+                               num_workers=1, fe_precision="exact").predict_paths(paths)
     mesh = make_mesh()
     eng = InferenceEngine(model, params, state, MsConfig(args), batch_size=8,
-                          num_workers=1, mesh=mesh, pallas_mel=True)
+                          num_workers=1, mesh=mesh, pallas_mel=True,
+                          fe_precision="exact")
     assert eng.pallas_mel and eng.mesh is not None
     y_mesh = eng.predict_paths(paths)
     np.testing.assert_allclose(y_mesh, y_single, atol=1e-5)

@@ -37,6 +37,26 @@ def test_front_end_has_no_dead_params():
     assert params == {"ms", "sr", "t_bucket", "pallas_mel", "fe_fast", "mesh"}
 
 
+def test_fe_precision_auto_follows_engine_precision(tmp_path):
+    """Round-3 default: fe_precision=None resolves to 'fast' at default
+    engine precision and 'exact' under precision='highest' (measured
+    rationale in BASELINE.md round 3); explicit values always win."""
+    from tests.test_e2e import _make_ckpt
+    from nisqa_tpu.compat.torch_ckpt import load_model_from_tar
+    from nisqa_tpu.data.pipeline import InferenceEngine, MsConfig
+
+    model, params, state, args = load_model_from_tar(_make_ckpt(tmp_path))
+    ms = MsConfig(args)
+
+    def eng(**kw):
+        return InferenceEngine(model, params, state, ms, num_workers=1, **kw)
+
+    assert eng().fe_precision == "fast"
+    assert eng(precision="highest").fe_precision == "exact"
+    assert eng(precision="highest", fe_precision="fast").fe_precision == "fast"
+    assert eng(fe_precision="exact").fe_precision == "exact"
+
+
 def test_pass_stage_timings_and_prime_fetch(tmp_path):
     """The pipelined pass records its per-stage decomposition (round-3
     serving observability) and prime_fetch warmup performs the first
