@@ -142,9 +142,12 @@ class TrainEngine:
         opt = self.opt
         loss_weight = self.loss_weight
         # training matmuls default to highest precision: the reference trains
-        # in full f32 and gradient rounding compounds over epochs; train-step
-        # compute is a negligible share of epoch wall time here. Override
-        # with args['tr_precision'].
+        # in full f32. The round-3 hardware A/B (BASELINE.md) measured
+        # tr_precision='default' as learning-equivalent (val r_p/RMSE track
+        # to 3 decimals epoch-by-epoch) and ~17% faster per epoch (0.46-0.50 s
+        # vs 0.56-0.69 s at 96 files) — a safe opt-in for large corpora via
+        # args['tr_precision']; the default keeps the reference's f32
+        # semantics since epoch compute is a small share of wall time here.
         precision = self.runner.args.get("tr_precision") or "highest"
 
         @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=())
