@@ -16,7 +16,9 @@ eval-mode NISQA_DIM + numpy mel front-end standing in for librosa, best
 measured config: DataLoader workers=0 on this 1-core box) measured by
 tools/measure_baseline.py on the SAME corpus — see BASELINE.md.
 
-A/B env switches: NISQA_BENCH_FUSE=1 (whole pass in one executable),
+A/B env switches: NISQA_BENCH_FUSE=1 (every pass incl. cold in one flat-fed
+executable) / NISQA_BENCH_NOFUSE=1 (never fuse; default auto = cached
+passes run as one fused executable over the resident batch buffers),
 NISQA_BENCH_PALLAS=1 / NISQA_BENCH_NOPALLAS=1 (force the Pallas DFT->mel
 front-end on/off; default auto = on for TPU backends),
 NISQA_BENCH_NOCACHE=1 (disable the corpus cache; every pass cold),
@@ -91,7 +93,11 @@ def _run(warm_only=False):
     model, params, state, args = load_model_from_tar("/root/reference/weights/nisqa.tar")
     engine = InferenceEngine(
         model, params, state, MsConfig(args), batch_size=32, num_workers=8,
-        fuse_pass=bool(os.environ.get("NISQA_BENCH_FUSE")),
+        # tri-state: default None = AUTO (interleaved cold pass, cached
+        # passes upgrade to one fused executable); FUSE forces flat-fused
+        # everywhere, NOFUSE disables fusing entirely
+        fuse_pass=(True if os.environ.get("NISQA_BENCH_FUSE")
+                   else False if os.environ.get("NISQA_BENCH_NOFUSE") else None),
         # default None = auto (Pallas front-end on TPU backends); A/B overrides
         pallas_mel=(False if os.environ.get("NISQA_BENCH_NOPALLAS")
                     else True if os.environ.get("NISQA_BENCH_PALLAS") else None),

@@ -273,7 +273,7 @@ class InferenceEngine:
 
     def __init__(self, model, params, state, ms: MsConfig, batch_size: int = 32,
                  mesh=None, num_workers: int = 8, precision: str = "default",
-                 pallas_mel: bool | None = None, fuse_pass: bool = False,
+                 pallas_mel: bool | None = None, fuse_pass: bool | None = None,
                  cache_mb: int = 512, fe_precision: str | None = None):
         self.model = model
         self.ms = ms
@@ -305,12 +305,19 @@ class InferenceEngine:
             # partitionable on its own; see _front_end)
             pallas_mel = jax.devices()[0].platform == "tpu"
         self.pallas_mel = bool(pallas_mel)
-        # fuse_pass: compile an entire predict pass (every bucket batch) into
-        # ONE executable fed by ONE flat upload -> 3 RPCs per pass. Output-
-        # identical to the unfused path. On THIS relay rig the unfused
-        # interleaved path measures faster (small overlapped transfers beat
-        # one large in-dispatch transfer); kept as an option for
-        # direct-attached hardware and fixed-corpus serving.
+        # fuse_pass — tri-state:
+        #   None (default, AUTO): cold passes run interleaved (filler thread
+        #     overlaps decode with transfer; fused cold passes measured far
+        #     slower on relay rigs — no overlap + a single in-dispatch
+        #     upload), but CACHED passes upgrade to one fused executable
+        #     that takes the device-resident per-batch buffers as arguments
+        #     directly — one execute RPC instead of one per batch. Measured
+        #     +25% cached serving throughput (31.0k vs 24.8k audio-s/s/chip,
+        #     384 files; BASELINE.md round 3).
+        #   True: fuse EVERY pass (cold ones too) via one flat upload —
+        #     for fixed-corpus serving on direct-attached hardware.
+        #   False: never fuse.
+        # All modes are output-identical.
         self.fuse_pass = fuse_pass
         # front-end precision: 'exact' = f32 multi-pass DFT (bit-stable vs
         # librosa); 'fast' = single-pass bf16 DFT with f32 accumulation.
@@ -590,9 +597,12 @@ class InferenceEngine:
             dummies = [jnp.zeros((self.batch_size, k_out), jnp.float32)] * n_batches
             jnp.concatenate(dummies, axis=0).block_until_ready()
 
-        if self._use_fused(plan):
+        if self._use_fused(plan) or (self._auto_fuse(plan)
+                                     and self._flat_fusable(plan)):
             # pre-compile + pre-load the single-executable pass for this
-            # corpus's batching plan
+            # corpus's batching plan (explicit fuse_pass=True, or the AUTO
+            # cached-pass upgrade: a cold compile on the first cached pass
+            # would go through the slow remote-compile channel)
             plan_keys = tuple(gkey for gkey, _ in plan)
             jitted, consts_tuple, offsets, buf_lens = self._fused_parts(plan_keys)
             dtype = np.int16 if plan_keys[0][2] == "i16" else np.float32
@@ -601,18 +611,74 @@ class InferenceEngine:
             for j, (sr, bucket, kind) in enumerate(plan_keys):
                 ns[j * self.batch_size : (j + 1) * self.batch_size] = full_n(sr, bucket)
             jitted(self.params, self.state, consts_tuple, flat, ns).block_until_ready()
+            if not self._use_fused(plan):
+                # also warm the one-time on-device repack concats the AUTO
+                # upgrade performs (rule 8: warm EVERY traced computation)
+                bufs = [jnp.zeros((self.batch_size, L), dtype) for L in buf_lens]
+                nz = [jnp.zeros((self.batch_size,), jnp.int32) for _ in buf_lens]
+                jnp.concatenate([b.reshape(-1) for b in bufs]).block_until_ready()
+                jnp.concatenate(nz).block_until_ready()
+        elif self._auto_fuse(plan):
+            # DE / mixed-dtype plans: pre-compile the tuple-of-buffers fused
+            # cached-pass executable instead
+            plan_keys = tuple(gkey for gkey, _ in plan)
+            jitted, consts_tuple = self._fused_batches_parts(plan_keys)
+            batches = []
+            for sr, bucket, kind in plan_keys:
+                buf_len = self._buf_lens[(sr, bucket, kind)]
+                dtype = np.int16 if kind == "i16" else np.float32
+                buf = jnp.zeros((self.batch_size, buf_len), dtype)
+                n = jnp.full((self.batch_size,), full_n(sr, bucket), jnp.int32)
+                batches.append((buf, n) * (2 if de else 1))
+            jitted(self.params, self.state, consts_tuple,
+                   tuple(batches)).block_until_ready()
 
         if prime_fetch:
             np.asarray(jnp.zeros((1,), jnp.float32))
 
     def _use_fused(self, plan):
+        """Explicit fuse_pass=True: fuse even the cold pass (one flat
+        upload). Needs a uniform transport dtype for the flat pack."""
         return (
-            self.fuse_pass
+            self.fuse_pass is True
             and not self.model.double_ended
             and self.mesh is None
             and len(plan) > 1
             and len({k for (_, _, k), _ in plan}) == 1
         )
+
+    def _auto_fuse(self, plan):
+        """AUTO (fuse_pass=None): upgrade CACHED passes to one fused
+        executable — one execute RPC instead of one per batch. Excluded
+        under a mesh (per-batch dispatches carry the sharding)."""
+        return self.fuse_pass is None and self.mesh is None and len(plan) > 1
+
+    def _flat_fusable(self, plan):
+        """Uniform-dtype single-ended plans additionally repack (on device,
+        once) into the flat layout of :meth:`_fused_parts` — measured ~4%
+        faster per cached pass than the tuple-of-buffers program (one
+        contiguous argument vs 2x len(plan))."""
+        return (not self.model.double_ended
+                and len({k for (_, _, k), _ in plan}) == 1)
+
+    def _upgrade_to_flat(self, fp, hit):
+        """One-time cached-entry upgrade: device-concat the resident
+        per-batch buffers into the flat fused layout (no host round-trip,
+        no re-upload) and swap the cache entry to mode 'fused'."""
+        plan = hit["plan"]
+        plan_keys = tuple(gkey for gkey, _ in plan)
+        jitted, consts_tuple, offsets, buf_lens = self._fused_parts(plan_keys)
+        flat = jnp.concatenate(
+            [args[0].reshape(-1) for _, _, args in hit["batches"]])
+        ns = jnp.concatenate([args[1] for _, _, args in hit["batches"]])
+        new = {"mode": "fused", "plan": plan, "jitted": jitted,
+               "consts": consts_tuple, "flat": flat, "ns": ns,
+               "bytes": flat.nbytes + ns.nbytes}
+        old = self._corpus_cache.pop(fp, None)
+        if old is not None:
+            self._cache_bytes -= old["bytes"]
+        self._cache_store(fp, new)
+        return new
 
     def _fingerprint(self, paths, paths_ref):
         """Corpus identity for the device cache: every file's
@@ -644,11 +710,13 @@ class InferenceEngine:
         Builds a corpus-adaptive batching plan (see :meth:`_plan_for`),
         restores input order, and runs one of three regimes:
           * cached: the corpus's device-resident input batches are reused —
-            no decode, no upload; just execute + fetch;
-          * fused (``fuse_pass``): the whole pass is one executable fed by
-            one flat upload;
-          * interleaved (default): each batch dispatches as soon as its host
-            fill completes, overlapping decode with device work.
+            no decode, no upload; just execute + fetch. Under the AUTO fuse
+            mode (default) the whole cached pass executes as ONE fused
+            program over the resident buffers (one execute RPC);
+          * fused (``fuse_pass=True``): every pass (cold included) is one
+            executable fed by one flat upload;
+          * interleaved (cold-pass default): each batch dispatches as soon
+            as its host fill completes, overlapping decode with device work.
         All regimes produce identical outputs. ``fetch=False`` blocks on
         completion and returns None (see :meth:`warmup`).
         """
@@ -667,7 +735,26 @@ class InferenceEngine:
             if hit["mode"] == "fused":
                 all_dev = hit["jitted"](self.params, self.state, hit["consts"],
                                         hit["flat"], hit["ns"])
-                out = self._collect_fused(all_dev, hit["plan"], N, fetch)
+                out = self._collect_fused(all_dev, hit["plan"], N, fetch,
+                                          timings=timings)
+            elif self._auto_fuse(hit["plan"]):
+                # AUTO fuse: one executable for the whole cached pass — one
+                # execute RPC instead of len(plan) (measured faster on every
+                # session; BASELINE.md round 3). Uniform-dtype single-ended
+                # corpora repack once into the flat layout (fastest);
+                # DE/mixed-dtype plans run the tuple-of-buffers program.
+                if self._flat_fusable(hit["plan"]):
+                    hit = self._upgrade_to_flat(fp, hit)
+                    all_dev = hit["jitted"](self.params, self.state,
+                                            hit["consts"], hit["flat"],
+                                            hit["ns"])
+                else:
+                    plan_keys = tuple(gkey for gkey, _, _ in hit["batches"])
+                    jitted, consts_tuple = self._fused_batches_parts(plan_keys)
+                    all_dev = jitted(self.params, self.state, consts_tuple,
+                                     tuple(args for _, _, args in hit["batches"]))
+                out = self._collect_fused(all_dev, hit["plan"], N, fetch,
+                                          timings=timings)
             else:
                 pending = [
                     (chunk, self._pipeline(*gkey)(self.params, self.state, *args))
@@ -831,12 +918,20 @@ class InferenceEngine:
             row += y.shape[0]
         return out
 
-    def _collect_fused(self, all_dev, plan, N, fetch):
+    def _collect_fused(self, all_dev, plan, N, fetch, timings=None):
+        t0 = time.perf_counter()
         if not fetch:
             all_dev.block_until_ready()
+            if timings is not None:
+                timings["block_s"] = round(time.perf_counter() - t0, 4)
             return None
         bs = self.batch_size
+        all_dev.block_until_ready()
+        t1 = time.perf_counter()
         all_y = np.asarray(all_dev)
+        if timings is not None:
+            timings["block_s"] = round(t1 - t0, 4)
+            timings["fetch_s"] = round(time.perf_counter() - t1, 4)
         out = np.zeros((N, all_y.shape[1]), dtype=np.float32)
         for j, (_, chunk) in enumerate(plan):
             out[np.asarray(chunk)] = all_y[j * bs : j * bs + len(chunk)]
@@ -887,6 +982,51 @@ class InferenceEngine:
                 return jnp.concatenate(outs, axis=0)
 
         parts = (jax.jit(run), tuple(consts_list), offsets, buf_lens)
+        self._pipelines[cache_key] = parts
+        return parts
+
+    def _fused_batches_parts(self, plan_keys):
+        """One jit for a whole CACHED pass, fed the device-resident
+        per-batch buffers as arguments (a pytree of the cached
+        (bs, buf_len) arrays + n vectors) — one execute RPC per pass with
+        zero repacking. Unlike :meth:`_fused_parts` there is no flat pack,
+        so mixed-dtype plans and double-ended batches fuse too. Used by the
+        AUTO fuse mode on cache hits; output-identical to per-batch
+        dispatch (same per-bucket front-end + model programs, inlined)."""
+        cache_key = ("fused_batches", plan_keys)
+        if cache_key in self._pipelines:
+            return self._pipelines[cache_key]
+
+        model = self.model
+        precision = self.precision
+        de = model.double_ended
+        fes, consts_list = [], []
+        for sr, bucket, kind in plan_keys:
+            self._pipeline(sr, bucket, kind)  # ensures consts + buf_lens
+            fe, _ = _front_end(self.ms, sr, bucket, pallas_mel=self.pallas_mel,
+                               fe_fast=(self.fe_precision == "fast"))
+            fes.append(fe)
+            # consts stay explicit arguments (never closed-over literals)
+            consts_list.append(self._consts[(sr, kind)])
+
+        def run(params, state, consts_tuple, batch_args):
+            outs = []
+            with jax.default_matmul_precision(precision):
+                for j, fe in enumerate(fes):
+                    a = batch_args[j]
+                    if de:
+                        segs_d, w_d = fe(consts_tuple[j], a[0], a[1])
+                        segs_r, w_r = fe(consts_tuple[j], a[2], a[3])
+                        x = jnp.stack([segs_d, segs_r], axis=2)
+                        n_wins = jnp.stack([w_d, w_r], axis=1)
+                        y, _ = model.apply(params, state, x, n_wins)
+                    else:
+                        segs, n_wins = fe(consts_tuple[j], a[0], a[1])
+                        y, _ = model.apply(params, state, segs, n_wins)
+                    outs.append(y)
+                return jnp.concatenate(outs, axis=0)
+
+        parts = (jax.jit(run), tuple(consts_list))
         self._pipelines[cache_key] = parts
         return parts
 

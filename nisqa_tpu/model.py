@@ -109,7 +109,9 @@ class NisqaTPU:
                 # engine tuning surface (absent from the reference; defaults
                 # are the measured-best configuration — BASELINE.md)
                 pallas_mel=args.get("pallas_mel"),
-                fuse_pass=bool(args.get("fuse_pass")),
+                # tri-state: absent/null = AUTO (cached passes fuse into one
+                # executable); explicit true/false forces/disables
+                fuse_pass=args.get("fuse_pass"),
                 # null-tolerant like the other args (`serving_cache_mb: null`
                 # keeps the default; explicit 0 disables the cache)
                 cache_mb=(512 if args.get("serving_cache_mb") is None
