@@ -132,7 +132,11 @@ def _front_end(ms: MsConfig, sr: int, t_bucket: int, pallas_mel: bool = False,
     # start offset inside the first covered row.
     c0 = lpad - r0 * hop
 
-    def fn(consts, audio, n_samples):
+    def mel_fn(consts, audio, n_samples):
+        """(audio buffer, n_samples) -> per-file top_db-clipped mel dB
+        (B, n_frames_max, n_mels) f32 — the cacheable front-end half (the
+        reference's `_to_memory` caches exactly this per-file product,
+        `NISQA_lib.py:2109-2127`)."""
         w_re, w_im, fb_t = consts["w_re"], consts["w_im"], consts["fb_t"]
         B = audio.shape[0]
         n_frames = (1 + n_samples // hop).astype(jnp.int32)
@@ -191,11 +195,16 @@ def _front_end(ms: MsConfig, sr: int, t_bucket: int, pallas_mel: bool = False,
         db = 20.0 * jnp.log10(jnp.maximum(mel, 1e-4))
         valid = jnp.arange(n_frames_max, dtype=jnp.int32)[None, :] < n_frames[:, None]
         mx = jnp.max(jnp.where(valid[:, :, None], db, -jnp.inf), axis=(1, 2), keepdims=True)
-        db = jnp.maximum(db, mx - 80.0)
+        return jnp.maximum(db, mx - 80.0)
 
-        # segment windows as im2col via the rows trick (tiny generated code
-        # vs per-window slicing): reshape frames into rows of seg_hop, take
-        # ceil(S/hop) shifted row slices, concat, trim to S
+    def seg_fn(db, n_samples):
+        """mel dB (B, n_frames_max, M) -> (segs, n_wins): the per-pass half
+        run on cached mels. Segment windows as im2col via the rows trick
+        (tiny generated code vs per-window slicing): reshape frames into
+        rows of seg_hop, take ceil(S/hop) shifted row slices, concat, trim
+        to S."""
+        B = db.shape[0]
+        n_frames = (1 + n_samples // hop).astype(jnp.int32)
         k_rows = -(-(ms.seg_length) // ms.seg_hop)
         R = t_bucket + k_rows  # row count; rows r covers frames [r*hop, (r+1)*hop)
         need = R * ms.seg_hop
@@ -211,6 +220,11 @@ def _front_end(ms: MsConfig, sr: int, t_bucket: int, pallas_mel: bool = False,
         segs = jnp.where(t_mask[:, :, None, None], segs, 0.0)
         return segs, n_wins
 
+    def fn(consts, audio, n_samples):
+        return seg_fn(mel_fn(consts, audio, n_samples), n_samples)
+
+    fn.mel_fn = mel_fn
+    fn.seg_fn = seg_fn
     return fn, buf_len
 
 
@@ -387,21 +401,28 @@ class InferenceEngine:
         model = self.model
         precision = self.precision
 
+        # Cold pipelines also RETURN the mel dB intermediates: the corpus
+        # cache stores those (5x smaller than i16 audio, and cached passes
+        # then skip the whole DFT+mel front-end — the device analog of the
+        # reference caching mel specs in `_to_memory`, NISQA_lib.py:2109).
         if model.double_ended:
             def run(params, state, consts, a_deg, n_deg, a_ref, n_ref):
                 with jax.default_matmul_precision(precision):
-                    segs_d, w_d = fe(consts, a_deg, n_deg)
-                    segs_r, w_r = fe(consts, a_ref, n_ref)
+                    db_d = fe.mel_fn(consts, a_deg, n_deg)
+                    db_r = fe.mel_fn(consts, a_ref, n_ref)
+                    segs_d, w_d = fe.seg_fn(db_d, n_deg)
+                    segs_r, w_r = fe.seg_fn(db_r, n_ref)
                     x = jnp.stack([segs_d, segs_r], axis=2)  # (B, T, 2, M, S)
                     n_wins = jnp.stack([w_d, w_r], axis=1)
                     y, _ = model.apply(params, state, x, n_wins)
-                return y
+                return y, db_d, db_r
         else:
             def run(params, state, consts, audio, n_samples):
                 with jax.default_matmul_precision(precision):
-                    segs, n_wins = fe(consts, audio, n_samples)
+                    db = fe.mel_fn(consts, audio, n_samples)
+                    segs, n_wins = fe.seg_fn(db, n_samples)
                     y, _ = model.apply(params, state, segs, n_wins)
-                return y
+                return y, db
 
         ckey = (sr, transport)
         if ckey not in self._consts:
@@ -425,6 +446,39 @@ class InferenceEngine:
         self._pipelines[key] = call
         self._buf_lens[key] = buf_len
         return call
+
+    def _seg_pipeline(self, sr: int, t_bucket: int):
+        """Jitted (mel dB, n_samples) -> y — the cached-pass per-batch
+        program: segment windowing + model only, no front-end (the mels are
+        cached). Used when the fused upgrade doesn't apply (mesh,
+        fuse_pass=False, single-batch plans)."""
+        key = ("seg", sr, t_bucket)
+        if key in self._pipelines:
+            return self._pipelines[key]
+        fe, _ = _front_end(self.ms, sr, t_bucket)
+        seg = fe.seg_fn
+        model = self.model
+        precision = self.precision
+
+        if model.double_ended:
+            def run(params, state, db_d, n_d, db_r, n_r):
+                with jax.default_matmul_precision(precision):
+                    segs_d, w_d = seg(db_d, n_d)
+                    segs_r, w_r = seg(db_r, n_r)
+                    x = jnp.stack([segs_d, segs_r], axis=2)
+                    n_wins = jnp.stack([w_d, w_r], axis=1)
+                    y, _ = model.apply(params, state, x, n_wins)
+                return y
+        else:
+            def run(params, state, db, n):
+                with jax.default_matmul_precision(precision):
+                    segs, n_wins = seg(db, n)
+                    y, _ = model.apply(params, state, segs, n_wins)
+                return y
+
+        jitted = jax.jit(run)
+        self._pipelines[key] = jitted
+        return jitted
 
     # -- host side -----------------------------------------------------------
 
@@ -584,7 +638,7 @@ class InferenceEngine:
             buf = np.zeros((self.batch_size, buf_len), dtype)
             n = np.full((self.batch_size,), full_n(sr, bucket), np.int32)
             batch = (buf, n) * (2 if de else 1)
-            pending.append(run(self.params, self.state, *batch))
+            pending.append(run(self.params, self.state, *batch)[0])
         for y in pending:
             y.block_until_ready()
 
@@ -597,12 +651,9 @@ class InferenceEngine:
             dummies = [jnp.zeros((self.batch_size, k_out), jnp.float32)] * n_batches
             jnp.concatenate(dummies, axis=0).block_until_ready()
 
-        if self._use_fused(plan) or (self._auto_fuse(plan)
-                                     and self._flat_fusable(plan)):
-            # pre-compile + pre-load the single-executable pass for this
-            # corpus's batching plan (explicit fuse_pass=True, or the AUTO
-            # cached-pass upgrade: a cold compile on the first cached pass
-            # would go through the slow remote-compile channel)
+        if self._use_fused(plan):
+            # pre-compile + pre-load the single-executable (flat-audio)
+            # pass for this corpus's batching plan
             plan_keys = tuple(gkey for gkey, _ in plan)
             jitted, consts_tuple, offsets, buf_lens = self._fused_parts(plan_keys)
             dtype = np.int16 if plan_keys[0][2] == "i16" else np.float32
@@ -611,27 +662,43 @@ class InferenceEngine:
             for j, (sr, bucket, kind) in enumerate(plan_keys):
                 ns[j * self.batch_size : (j + 1) * self.batch_size] = full_n(sr, bucket)
             jitted(self.params, self.state, consts_tuple, flat, ns).block_until_ready()
-            if not self._use_fused(plan):
-                # also warm the one-time on-device repack concats the AUTO
-                # upgrade performs (rule 8: warm EVERY traced computation)
-                bufs = [jnp.zeros((self.batch_size, L), dtype) for L in buf_lens]
-                nz = [jnp.zeros((self.batch_size,), jnp.int32) for _ in buf_lens]
-                jnp.concatenate([b.reshape(-1) for b in bufs]).block_until_ready()
-                jnp.concatenate(nz).block_until_ready()
-        elif self._auto_fuse(plan):
-            # DE / mixed-dtype plans: pre-compile the tuple-of-buffers fused
-            # cached-pass executable instead
+
+        bs = self.batch_size
+        M = ms.n_mels
+        blocks_per = 2 if de else 1
+        if self._auto_fuse(plan):
+            # pre-compile + pre-load the fused cached-pass executable (the
+            # AUTO cache-hit upgrade target: a cold compile on the first
+            # cached pass would go through the slow remote-compile channel)
             plan_keys = tuple(gkey for gkey, _ in plan)
-            jitted, consts_tuple = self._fused_batches_parts(plan_keys)
-            batches = []
-            for sr, bucket, kind in plan_keys:
-                buf_len = self._buf_lens[(sr, bucket, kind)]
-                dtype = np.int16 if kind == "i16" else np.float32
-                buf = jnp.zeros((self.batch_size, buf_len), dtype)
-                n = jnp.full((self.batch_size,), full_n(sr, bucket), jnp.int32)
-                batches.append((buf, n) * (2 if de else 1))
-            jitted(self.params, self.state, consts_tuple,
-                   tuple(batches)).block_until_ready()
+            jitted, offsets = self._fused_mel_parts(plan_keys)
+            flat = np.zeros((int(offsets[-1]),), np.float32)
+            ns = np.empty((blocks_per * len(plan_keys) * bs,), np.int32)
+            for j, (sr, bucket, kind) in enumerate(plan_keys):
+                j0 = blocks_per * j * bs
+                ns[j0 : j0 + blocks_per * bs] = full_n(sr, bucket)
+            jitted(self.params, self.state, flat, ns).block_until_ready()
+            # also warm the one-time on-device repack (reshape + concat) the
+            # upgrade performs (rule 8: warm EVERY traced computation)
+            dbs = [jnp.zeros((bs, ms.frames_for_bucket(b), M),
+                             jnp.float32).reshape(-1)
+                   for (_, b, _), _ in plan for _ in range(blocks_per)]
+            nz = [jnp.zeros((bs,), jnp.int32)
+                  for _ in range(blocks_per * len(plan))]
+            jnp.concatenate(dbs).block_until_ready()
+            jnp.concatenate(nz).block_until_ready()
+        elif not self._use_fused(plan):
+            # mesh / fuse_pass=False / single-batch plans: cached passes
+            # dispatch the per-batch segment+model program — warm it
+            for sr, bucket, kind in sorted({gkey for gkey, _ in plan}):
+                run = self._seg_pipeline(sr, bucket)
+                db = np.zeros((bs, ms.frames_for_bucket(bucket), M), np.float32)
+                n = np.full((bs,), full_n(sr, bucket), np.int32)
+                if self._data_sharding is not None:
+                    db = jax.device_put(db, self._data_sharding)
+                    n = jax.device_put(n, self._data_sharding)
+                args = (db, n) * (2 if de else 1)
+                run(self.params, self.state, *args).block_until_ready()
 
         if prime_fetch:
             np.asarray(jnp.zeros((1,), jnp.float32))
@@ -653,27 +720,83 @@ class InferenceEngine:
         under a mesh (per-batch dispatches carry the sharding)."""
         return self.fuse_pass is None and self.mesh is None and len(plan) > 1
 
-    def _flat_fusable(self, plan):
-        """Uniform-dtype single-ended plans additionally repack (on device,
-        once) into the flat layout of :meth:`_fused_parts` — measured ~4%
-        faster per cached pass than the tuple-of-buffers program (one
-        contiguous argument vs 2x len(plan))."""
-        return (not self.model.double_ended
-                and len({k for (_, _, k), _ in plan}) == 1)
+    def _fused_mel_parts(self, plan_keys):
+        """One jit for a whole CACHED pass over cached MEL-dB blocks: a
+        single flat f32 argument (all batches' mels, deg+ref interleaved
+        for DE) + a flat n vector -> row-concatenated predictions. One
+        execute RPC per pass, and the DFT+mel front-end is skipped entirely
+        (it ran once, on the cold pass). Post-mel everything is f32, so
+        every plan flat-packs — including DE and mixed-transport ones.
 
-    def _upgrade_to_flat(self, fp, hit):
+        Returns (jitted, offsets): offsets[k] is the flat start of the k-th
+        mel block (``blocks_per`` = 2 for DE: deg then ref, per batch)."""
+        cache_key = ("mel_fused", plan_keys)
+        if cache_key in self._pipelines:
+            return self._pipelines[cache_key]
+
+        model = self.model
+        precision = self.precision
+        de = model.double_ended
+        bs = self.batch_size
+        M = self.ms.n_mels
+        seg_fns, frames = [], []
+        for sr, bucket, kind in plan_keys:
+            fe, _ = _front_end(self.ms, sr, bucket)
+            seg_fns.append(fe.seg_fn)
+            frames.append(self.ms.frames_for_bucket(bucket))
+        blocks_per = 2 if de else 1
+        sizes = []
+        for F in frames:
+            sizes += [bs * F * M] * blocks_per
+        offsets = np.cumsum([0] + sizes)
+
+        def run(params, state, flat, ns):
+            outs = []
+            with jax.default_matmul_precision(precision):
+                for j, seg in enumerate(seg_fns):
+                    F = frames[j]
+                    b0 = blocks_per * j
+
+                    def block(k):
+                        db = lax.slice(flat, (int(offsets[b0 + k]),),
+                                       (int(offsets[b0 + k + 1]),))
+                        n = lax.slice(ns, ((b0 + k) * bs,), ((b0 + k + 1) * bs,))
+                        return db.reshape(bs, F, M), n
+
+                    if de:
+                        db_d, n_d = block(0)
+                        db_r, n_r = block(1)
+                        segs_d, w_d = seg(db_d, n_d)
+                        segs_r, w_r = seg(db_r, n_r)
+                        x = jnp.stack([segs_d, segs_r], axis=2)
+                        n_wins = jnp.stack([w_d, w_r], axis=1)
+                        y, _ = model.apply(params, state, x, n_wins)
+                    else:
+                        db, n = block(0)
+                        segs, n_wins = seg(db, n)
+                        y, _ = model.apply(params, state, segs, n_wins)
+                    outs.append(y)
+                return jnp.concatenate(outs, axis=0)
+
+        parts = (jax.jit(run), offsets)
+        self._pipelines[cache_key] = parts
+        return parts
+
+    def _upgrade_to_mel_fused(self, fp, hit):
         """One-time cached-entry upgrade: device-concat the resident
-        per-batch buffers into the flat fused layout (no host round-trip,
-        no re-upload) and swap the cache entry to mode 'fused'."""
+        per-batch mel blocks into the flat fused layout (no host
+        round-trip, no re-upload) and swap the cache entry to mode
+        'mel_fused'."""
         plan = hit["plan"]
         plan_keys = tuple(gkey for gkey, _ in plan)
-        jitted, consts_tuple, offsets, buf_lens = self._fused_parts(plan_keys)
-        flat = jnp.concatenate(
-            [args[0].reshape(-1) for _, _, args in hit["batches"]])
-        ns = jnp.concatenate([args[1] for _, _, args in hit["batches"]])
-        new = {"mode": "fused", "plan": plan, "jitted": jitted,
-               "consts": consts_tuple, "flat": flat, "ns": ns,
-               "bytes": flat.nbytes + ns.nbytes}
+        jitted, offsets = self._fused_mel_parts(plan_keys)
+        flat = jnp.concatenate([a.reshape(-1)
+                                for _, _, args in hit["batches"]
+                                for a in args[0::2]])
+        ns = jnp.concatenate([a for _, _, args in hit["batches"]
+                              for a in args[1::2]])
+        new = {"mode": "mel_fused", "plan": plan, "jitted": jitted,
+               "flat": flat, "ns": ns, "bytes": flat.nbytes + ns.nbytes}
         old = self._corpus_cache.pop(fp, None)
         if old is not None:
             self._cache_bytes -= old["bytes"]
@@ -732,32 +855,32 @@ class InferenceEngine:
         if hit is not None:
             self._corpus_cache[fp] = hit  # LRU refresh
             timings = {}
-            if hit["mode"] == "fused":
+            if hit["mode"] == "fused":  # legacy flat-audio (fuse_pass=True)
                 all_dev = hit["jitted"](self.params, self.state, hit["consts"],
                                         hit["flat"], hit["ns"])
                 out = self._collect_fused(all_dev, hit["plan"], N, fetch,
                                           timings=timings)
+            elif hit["mode"] == "mel_fused":
+                all_dev = hit["jitted"](self.params, self.state,
+                                        hit["flat"], hit["ns"])
+                out = self._collect_fused(all_dev, hit["plan"], N, fetch,
+                                          timings=timings)
             elif self._auto_fuse(hit["plan"]):
-                # AUTO fuse: one executable for the whole cached pass — one
-                # execute RPC instead of len(plan) (measured faster on every
-                # session; BASELINE.md round 3). Uniform-dtype single-ended
-                # corpora repack once into the flat layout (fastest);
-                # DE/mixed-dtype plans run the tuple-of-buffers program.
-                if self._flat_fusable(hit["plan"]):
-                    hit = self._upgrade_to_flat(fp, hit)
-                    all_dev = hit["jitted"](self.params, self.state,
-                                            hit["consts"], hit["flat"],
-                                            hit["ns"])
-                else:
-                    plan_keys = tuple(gkey for gkey, _, _ in hit["batches"])
-                    jitted, consts_tuple = self._fused_batches_parts(plan_keys)
-                    all_dev = jitted(self.params, self.state, consts_tuple,
-                                     tuple(args for _, _, args in hit["batches"]))
+                # AUTO fuse: upgrade once to one executable for the whole
+                # cached pass over the resident MEL blocks — one execute RPC
+                # instead of len(plan), and no front-end recompute
+                # (measured faster on every session; BASELINE.md round 3)
+                hit = self._upgrade_to_mel_fused(fp, hit)
+                all_dev = hit["jitted"](self.params, self.state,
+                                        hit["flat"], hit["ns"])
                 out = self._collect_fused(all_dev, hit["plan"], N, fetch,
                                           timings=timings)
             else:
+                # per-batch cached dispatch (mesh / fuse_pass=False /
+                # single-batch plans): segment+model over cached mels
                 pending = [
-                    (chunk, self._pipeline(*gkey)(self.params, self.state, *args))
+                    (chunk, self._seg_pipeline(gkey[0], gkey[1])(
+                        self.params, self.state, *args))
                     for gkey, chunk, args in hit["batches"]
                 ]
                 out = self._collect(pending, N, fetch, timings=timings)
@@ -833,15 +956,24 @@ class InferenceEngine:
             run = self._pipeline(*gkey)
             if self._data_sharding is not None:
                 batch_args = tuple(jax.device_put(a, self._data_sharding) for a in batch_args)
-            elif caching:
-                batch_args = tuple(jax.device_put(a) for a in batch_args)
+            outs = run(self.params, self.state, *batch_args)
+            pending.append((chunk, outs[0]))
             if caching:
-                cached_batches.append((gkey, chunk, batch_args))
-            pending.append((chunk, run(self.params, self.state, *batch_args)))
+                # cache the pipeline's MEL-dB outputs (outs[1:]) with their
+                # n vectors — 5x smaller than i16 audio, and cached passes
+                # skip the DFT+mel front-end entirely (the reference's
+                # `_to_memory` caches the same per-file product)
+                ns_list = batch_args[1::2]
+                if self._data_sharding is None:
+                    ns_list = [jax.device_put(np.ascontiguousarray(n))
+                               for n in ns_list]
+                args = tuple(x for pair in zip(outs[1:], ns_list)
+                             for x in pair)
+                cached_batches.append((gkey, chunk, args))
             dispatch_s += time.perf_counter() - td
         if caching:
             self._cache_store(fp, {
-                "mode": "batches", "plan": plan, "batches": cached_batches,
+                "mode": "mel", "plan": plan, "batches": cached_batches,
                 "bytes": sum(a.nbytes for _, _, args in cached_batches for a in args),
             })
         timings.update(wait_s=wait_s, dispatch_s=dispatch_s)
@@ -982,51 +1114,6 @@ class InferenceEngine:
                 return jnp.concatenate(outs, axis=0)
 
         parts = (jax.jit(run), tuple(consts_list), offsets, buf_lens)
-        self._pipelines[cache_key] = parts
-        return parts
-
-    def _fused_batches_parts(self, plan_keys):
-        """One jit for a whole CACHED pass, fed the device-resident
-        per-batch buffers as arguments (a pytree of the cached
-        (bs, buf_len) arrays + n vectors) — one execute RPC per pass with
-        zero repacking. Unlike :meth:`_fused_parts` there is no flat pack,
-        so mixed-dtype plans and double-ended batches fuse too. Used by the
-        AUTO fuse mode on cache hits; output-identical to per-batch
-        dispatch (same per-bucket front-end + model programs, inlined)."""
-        cache_key = ("fused_batches", plan_keys)
-        if cache_key in self._pipelines:
-            return self._pipelines[cache_key]
-
-        model = self.model
-        precision = self.precision
-        de = model.double_ended
-        fes, consts_list = [], []
-        for sr, bucket, kind in plan_keys:
-            self._pipeline(sr, bucket, kind)  # ensures consts + buf_lens
-            fe, _ = _front_end(self.ms, sr, bucket, pallas_mel=self.pallas_mel,
-                               fe_fast=(self.fe_precision == "fast"))
-            fes.append(fe)
-            # consts stay explicit arguments (never closed-over literals)
-            consts_list.append(self._consts[(sr, kind)])
-
-        def run(params, state, consts_tuple, batch_args):
-            outs = []
-            with jax.default_matmul_precision(precision):
-                for j, fe in enumerate(fes):
-                    a = batch_args[j]
-                    if de:
-                        segs_d, w_d = fe(consts_tuple[j], a[0], a[1])
-                        segs_r, w_r = fe(consts_tuple[j], a[2], a[3])
-                        x = jnp.stack([segs_d, segs_r], axis=2)
-                        n_wins = jnp.stack([w_d, w_r], axis=1)
-                        y, _ = model.apply(params, state, x, n_wins)
-                    else:
-                        segs, n_wins = fe(consts_tuple[j], a[0], a[1])
-                        y, _ = model.apply(params, state, segs, n_wins)
-                    outs.append(y)
-                return jnp.concatenate(outs, axis=0)
-
-        parts = (jax.jit(run), tuple(consts_list))
         self._pipelines[cache_key] = parts
         return parts
 

@@ -126,45 +126,45 @@ def test_fused_cached_pass_matches(tmp_path):
     np.testing.assert_array_equal(y1, y2)
 
 
-def _has_fused_batches_pipeline(eng):
-    return any(isinstance(k, tuple) and k and k[0] == "fused_batches"
+def _has_mel_fused_pipeline(eng):
+    return any(isinstance(k, tuple) and k and k[0] == "mel_fused"
                for k in eng._pipelines)
 
 
 def test_auto_fuse_cached_pass_matches(tmp_path):
     """Default fuse_pass=None: the cold pass stays interleaved (filler
-    overlap), cached passes upgrade to ONE fused executable over the
-    device-resident per-batch buffers — output-identical, and repeat cached
-    passes are bit-identical."""
+    overlap) and caches the MEL outputs; cached passes upgrade to ONE fused
+    executable over the resident mel blocks (no front-end recompute) —
+    output-identical, and repeat cached passes are bit-identical."""
     names = _write_corpus(tmp_path, n=6)
     paths = [str(tmp_path / n) for n in names]
     eng = _engine(tmp_path, batch_size=2, cache_mb=256)
-    eng.warmup(paths)  # must pre-compile the auto-fused (flat) executable
-    assert any(isinstance(k, tuple) and k and k[0] == "fused"
-               for k in eng._pipelines)
+    eng.warmup(paths)  # must pre-compile the fused cached-pass executable
+    assert _has_mel_fused_pipeline(eng)
     y1 = eng.predict_paths(paths)
     assert eng.stats["last"]["mode"] == "interleaved"
-    assert next(iter(eng._corpus_cache.values()))["mode"] == "batches"
+    assert next(iter(eng._corpus_cache.values()))["mode"] == "mel"
     y2 = eng.predict_paths(paths)
     assert eng.stats["last"]["mode"] == "cached"
     assert "block_s" in eng.stats["last"] and "fetch_s" in eng.stats["last"]
-    # single-ended uniform-dtype corpus: entry upgraded to the flat layout
-    assert next(iter(eng._corpus_cache.values()))["mode"] == "fused"
+    # entry upgraded to the flat fused-mel layout
+    assert next(iter(eng._corpus_cache.values()))["mode"] == "mel_fused"
     y3 = eng.predict_paths(paths)
     np.testing.assert_allclose(y2, y1, atol=1e-6)
     np.testing.assert_array_equal(y2, y3)
-    # reference: per-batch (unfused) engine on the same corpus
+    # reference: per-batch (unfused) engine on the same corpus — cached
+    # passes run segment+model over the cached mels, same outputs
     e_off = _engine(tmp_path, batch_size=2, cache_mb=256, fuse_pass=False)
     ya = e_off.predict_paths(paths)
     yb = e_off.predict_paths(paths)
-    assert not _has_fused_batches_pipeline(e_off)
-    np.testing.assert_allclose(yb, ya, atol=0)
+    assert not _has_mel_fused_pipeline(e_off)
+    np.testing.assert_allclose(yb, ya, atol=1e-6)
     np.testing.assert_allclose(y2, yb, atol=1e-6)
 
 
 def test_auto_fuse_double_ended_cached(tmp_path):
-    """DE corpora qualify for the auto fuse (4-array batches, no flat
-    repack needed)."""
+    """DE corpora also fuse: post-mel everything is f32, so the deg/ref
+    blocks flat-pack into the same one-executable cached pass."""
     from nisqa_tpu.compat.torch_ckpt import load_model_from_tar
     from nisqa_tpu.data.pipeline import InferenceEngine, MsConfig
     from tests.test_e2e_de_eval import _make_de_ckpt
@@ -177,11 +177,13 @@ def test_auto_fuse_double_ended_cached(tmp_path):
     eng = InferenceEngine(model, params, state, MsConfig(args), batch_size=2,
                           num_workers=1, cache_mb=256)
     y1 = eng.predict_paths(paths, refs)
+    assert next(iter(eng._corpus_cache.values()))["mode"] == "mel"
     y2 = eng.predict_paths(paths, refs)
-    assert _has_fused_batches_pipeline(eng)
-    # DE plans cannot flat-repack: entry stays per-batch
-    assert next(iter(eng._corpus_cache.values()))["mode"] == "batches"
+    assert _has_mel_fused_pipeline(eng)
+    assert next(iter(eng._corpus_cache.values()))["mode"] == "mel_fused"
+    y3 = eng.predict_paths(paths, refs)
     np.testing.assert_allclose(y2, y1, atol=1e-6)
+    np.testing.assert_array_equal(y2, y3)
 
 
 def test_cache_double_ended(tmp_path, monkeypatch):
