@@ -125,12 +125,17 @@ class TrainEngine:
         (docs/RELAY_NOTES.md).
 
         ``gather=True`` is the device-resident-corpus variant: instead of
-        per-batch audio buffers the step receives the whole corpus (one
-        (N, buf_len) device array per sample rate, uploaded once) plus a
-        (B,) row-index vector, and the batch is assembled ON DEVICE with a
-        single small-index take. Epochs after the upload do zero audio
-        host->device transfers — the training analog of the serving engine's
-        corpus cache (reference `_to_memory`, `NISQA_lib.py:2109-2127`)."""
+        per-batch audio buffers the step receives the whole corpus as
+        precomputed MEL-dB rows (one (N, F, M) f32 device array per sample
+        rate, converted once by :meth:`_build_device_corpus`) plus a (B,)
+        row-index vector; the batch is assembled ON DEVICE with a single
+        small-index take and the step runs segment windowing + fwd/bwd only
+        — the front-end never recomputes across epochs (the reference's
+        `_to_memory` caches exactly this per-file mel product,
+        `NISQA_lib.py:2109-2127`). Gradients never flow into the front-end
+        (audio is data), and the standalone mel program pins the same
+        explicit einsum precisions as the fused one, so the split step is
+        numerically identical to recomputing the mel in-step."""
         key = (n_targets, sr, bucket, kind, de, gather)
         if key in self._step_cache:
             return self._step_cache[key]
@@ -150,28 +155,34 @@ class TrainEngine:
         # semantics since epoch compute is a small share of wall time here.
         precision = self.runner.args.get("tr_precision") or "highest"
 
-        @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=())
-        def step(params, opt_state, bn_state, fe_consts, y, bias_b, row_valid,
-                 lr, rng, *audio_args):
-            with jax.default_matmul_precision(precision):
-                if gather:
-                    # audio_args: (corpus, ids, ns[, corpus_r, ids_r, ns_r])
-                    a0 = jnp.take(audio_args[0], audio_args[1], axis=0)
-                    pairs = [(a0, audio_args[2])]
+        if gather:
+            @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=())
+            def step(params, opt_state, bn_state, fe_consts, y, bias_b,
+                     row_valid, lr, rng, *mel_args):
+                # mel_args: (mel_corpus, ids, ns[, mel_corpus_r, ids_r, ns_r])
+                with jax.default_matmul_precision(precision):
+                    db0 = jnp.take(mel_args[0], mel_args[1], axis=0)
+                    segs, n_wins = fe.seg_fn(db0, mel_args[2])
                     if de:
-                        a1 = jnp.take(audio_args[3], audio_args[4], axis=0)
-                        pairs.append((a1, audio_args[5]))
-                else:
-                    pairs = [(audio_args[0], audio_args[1])]
+                        db1 = jnp.take(mel_args[3], mel_args[4], axis=0)
+                        segs_r, n_wins_r = fe.seg_fn(db1, mel_args[5])
+                        segs = jnp.stack([segs, segs_r], axis=2)
+                        n_wins = jnp.stack([n_wins, n_wins_r], axis=1)
+                    return _step_body(params, opt_state, bn_state, segs,
+                                      n_wins, y, bias_b, row_valid, lr, rng)
+        else:
+            @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=())
+            def step(params, opt_state, bn_state, fe_consts, y, bias_b,
+                     row_valid, lr, rng, *audio_args):
+                with jax.default_matmul_precision(precision):
+                    segs, n_wins = fe(fe_consts, audio_args[0], audio_args[1])
                     if de:
-                        pairs.append((audio_args[2], audio_args[3]))
-                segs, n_wins = fe(fe_consts, *pairs[0])
-                if de:
-                    segs_r, n_wins_r = fe(fe_consts, *pairs[1])
-                    segs = jnp.stack([segs, segs_r], axis=2)
-                    n_wins = jnp.stack([n_wins, n_wins_r], axis=1)
-                return _step_body(params, opt_state, bn_state, segs, n_wins, y,
-                                  bias_b, row_valid, lr, rng)
+                        segs_r, n_wins_r = fe(fe_consts, audio_args[2],
+                                              audio_args[3])
+                        segs = jnp.stack([segs, segs_r], axis=2)
+                        n_wins = jnp.stack([n_wins, n_wins_r], axis=1)
+                    return _step_body(params, opt_state, bn_state, segs,
+                                      n_wins, y, bias_b, row_valid, lr, rng)
 
         def _step_body(params, opt_state, bn_state, segs, n_wins, y, bias_b, row_valid, lr, rng):
             def loss_fn(p):
@@ -281,13 +292,18 @@ class TrainEngine:
         return out_n
 
     def _build_device_corpus(self, paths, entries, paths_ref, entries_ref, de, load):
-        """Upload the whole training corpus to the device once, grouped by
-        sample rate at that rate's max length bucket. Rows are transport-
-        ready audio (reflect-padded, i16 when every file is plain PCM16 mono
-        and the model is single-ended, f32 otherwise). Returns
-        {sr: {rows, n, local, bucket, kind[, rows_ref, n_ref]}} for the srs
-        that fit under tr_device_cache_mb; srs that don't fit simply stay on
-        the per-batch host-fill path."""
+        """Make the whole training corpus device-resident once, grouped by
+        sample rate at that rate's max length bucket — as precomputed MEL-dB
+        rows: audio is decoded on host (i16 transport when every file is
+        plain PCM16 mono and the model is single-ended, f32 otherwise),
+        uploaded in chunks, pushed through the front-end on device, and only
+        the (N, F, n_mels) f32 mel rows are kept (~5x smaller than the i16
+        audio, and epochs never recompute the DFT — the reference's
+        `_to_memory` caches the same per-file mel product,
+        `NISQA_lib.py:2109-2127`). Returns
+        {sr: {mel, n, local, bucket[, mel_ref, n_ref]}} for the srs whose
+        MEL rows fit under tr_device_cache_mb; srs that don't fit simply
+        stay on the per-batch host-fill path."""
         ms = self.ms
         by_sr = {}
         for i, e in enumerate(entries):
@@ -310,18 +326,26 @@ class TrainEngine:
             if de:
                 n_wins_all += [ms.n_wins(ms.n_frames(n_of(entries_ref[i]), sr)) for i in gidx]
             max_nw = max(n_wins_all)
+            if max_nw > ms.max_segments:
+                # same guidance as the serving engine / reference
+                # segment_specs (NISQA_lib.py:2205-2207)
+                raise ValueError(
+                    f"n_wins {max_nw} > max_length {ms.max_segments}. "
+                    "Increase max window length ms_max_segments!")
             bucket = next(b for b in ms.buckets() if max_nw <= b)
             kind = ("i16" if not de and all(entries[i][0] == "native" for i in gidx)
                     else "f32")
             _, buf_len = _front_end(ms, sr, bucket)
-            # pad the corpus row count to a 64 granularity: the fused gather
+            # pad the corpus row count to a 64 granularity: the gather
             # train step traces on the corpus array's shape, so padding makes
             # the compiled executable reusable across corpora of similar
             # size (first-epoch remote compiles cost ~20 min/shape on this
             # relay, docs/RELAY_NOTES.md). Pad rows are never gathered.
             n_rows = -(-len(gidx) // 64) * 64
-            itemsize = 2 if kind == "i16" else 4
-            nbytes = n_rows * buf_len * itemsize * (2 if de else 1)
+            # the budget gates what stays RESIDENT: the mel rows (the audio
+            # chunks uploaded during conversion are transient)
+            nbytes = (n_rows * ms.frames_for_bucket(bucket) * ms.n_mels * 4
+                      * (2 if de else 1))
             if nbytes > budget:
                 continue
 
@@ -349,22 +373,45 @@ class TrainEngine:
 
             buf, ns = fill(entries, paths)
             if buf.dtype == np.float32 and kind == "i16":
-                # rare native-fill race: keep the f32 rows, rebuild consts kind
-                kind = "f32"
-                nbytes = n_rows * buf_len * 4
-                if nbytes > budget:
-                    continue
+                kind = "f32"  # rare native-fill race: f32 rows, f32 consts
             entry = {
-                "rows": rep(buf), "n": ns, "bucket": bucket, "kind": kind,
+                "mel": self._rows_to_mel(buf, ns, sr, bucket, kind, rep),
+                "n": ns, "bucket": bucket, "kind": kind,
                 "local": {int(i): j for j, i in enumerate(gidx)},
             }
             if de:
                 buf_r, ns_r = fill(entries_ref, paths_ref)
-                entry["rows_ref"] = rep(buf_r)
+                entry["mel_ref"] = self._rows_to_mel(buf_r, ns_r, sr, bucket,
+                                                     "f32", rep)
                 entry["n_ref"] = ns_r
             out[sr] = entry
             budget -= nbytes
         return out
+
+    def _rows_to_mel(self, buf, ns, sr, bucket, kind, rep):
+        """One-time on-device front-end over corpus audio rows, chunked (the
+        audio chunk uploads are transient — only the mel survives, so peak
+        HBM during conversion is mel + one 64-row audio chunk). The mel
+        program is the exact einsum front-end with its explicit precision
+        pins, so the rows are bit-identical to what the old fused step
+        computed in-step."""
+        from ..data.pipeline import front_end_consts
+
+        fe, _ = _front_end(self.ms, sr, bucket)
+        ckey = ("melconv", sr, bucket, kind)
+        if ckey not in self._step_cache:
+            consts = jax.device_put(front_end_consts(self.ms, sr, kind))
+            self._step_cache[ckey] = (jax.jit(fe.mel_fn), consts)
+        prog, consts = self._step_cache[ckey]
+        n_rows = buf.shape[0]
+        ns_full = np.zeros((n_rows,), np.int32)
+        ns_full[: len(ns)] = ns  # pad rows: n=0 -> 1 valid frame, finite dB
+        chunks = []
+        for s in range(0, n_rows, 64):
+            a = jax.device_put(np.ascontiguousarray(buf[s : s + 64]))
+            chunks.append(prog(consts, a, jnp.asarray(ns_full[s : s + 64])))
+        mel = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
+        return rep(mel)
 
     def _device_corpus(self, paths, entries, paths_ref, entries_ref, de, load):
         if self._audio_cache is None:  # gated on tr_ds_to_memory
@@ -475,20 +522,20 @@ class TrainEngine:
             return jax.device_put(a, self._data_sharding) if self._data_sharding is not None else a
 
         if dc is not None:
-            # device-resident corpus: batch rows gathered on device by a
-            # (B,) index vector — no audio decode, no audio upload. The
-            # corpus-wide bucket pads time; front-end + masked BN make the
-            # result identical to the per-batch-bucket path
-            # (tests/test_train_device_cache.py).
+            # device-resident corpus: batch MEL rows gathered on device by a
+            # (B,) index vector — no audio decode, no upload, no front-end
+            # recompute. The corpus-wide bucket pads time; segment windowing
+            # + masked BN make the result identical to the per-batch-bucket
+            # path (tests/test_train_device_cache.py).
             kind, bucket = dc["kind"], dc["bucket"]
             step_fn, _ = self._step(K, sr, bucket, kind, de, gather=True)
             ids = np.array([dc["local"][int(i)] for i in idx], np.int32)
             if B > n_real:
                 ids = np.concatenate([ids, np.repeat(ids[:1], B - n_real)])
             ns = dc["n"][ids]
-            audio_args = [dc["rows"], shard(ids), shard(ns)]
+            audio_args = [dc["mel"], shard(ids), shard(ns)]
             if de:
-                audio_args += [dc["rows_ref"], shard(ids), shard(dc["n_ref"][ids])]
+                audio_args += [dc["mel_ref"], shard(ids), shard(dc["n_ref"][ids])]
         else:
             audio_args = None
 

@@ -175,3 +175,23 @@ def test_cap_falls_back_to_host_fill(tmp_path):
     engine, losses, _ = _run_epochs(runner, n_epochs=1)
     assert engine._dev_corpus == {}
     assert np.isfinite(losses[0])
+
+
+def test_too_long_file_raises_reference_error(tmp_path):
+    """A file exceeding ms_max_segments must raise the reference's
+    actionable max-length error (NISQA_lib.py:2205-2207), not a bare
+    StopIteration from bucket selection."""
+    import pytest
+
+    from nisqa_tpu.audio.wav import write_wav
+    from nisqa_tpu.model import NisqaTPU
+
+    names = _write_corpus(tmp_path, n=5)
+    sr = 8000
+    y = 0.1 * np.random.default_rng(1).standard_normal(int(sr * 3.0))
+    write_wav(str(tmp_path / "long.wav"), y.astype(np.float32), sr)
+    names.insert(0, "long.wav")  # first 4 rows are the TRAIN split
+    runner = NisqaTPU(_args(tmp_path, tmp_path / "l", names,
+                            tr_ds_to_memory=True))
+    with pytest.raises(ValueError, match="ms_max_segments"):
+        _run_epochs(runner, n_epochs=1)
