@@ -282,6 +282,22 @@ def validate_filled_row(ms: MsConfig, path, n, sr, sr_got=None):
         raise ValueError(f"Error loading file {path}: {e}") from None
 
 
+def _stack_and_apply(model, params, state, ends):
+    """Shared tail of every serving program: per-end ``(segs, n_wins)`` ->
+    DE stack (``(B, T, 2, M, S)`` like the reference's paired loader,
+    `NISQA_lib.py:1931-1955`) -> model forward. One audio end for
+    single-ended models, two (deg, ref) for double-ended. Keeping this in
+    one place guarantees the cold, cached, and fused executables invoke
+    the model identically (callers scope matmul precision)."""
+    if len(ends) == 2:
+        x = jnp.stack([ends[0][0], ends[1][0]], axis=2)
+        n_wins = jnp.stack([ends[0][1], ends[1][1]], axis=1)
+    else:
+        x, n_wins = ends[0]
+    y, _ = model.apply(params, state, x, n_wins)
+    return y
+
+
 class InferenceEngine:
     """Compiled predict pipelines keyed by (sample_rate, T bucket, batch)."""
 
@@ -410,18 +426,16 @@ class InferenceEngine:
                 with jax.default_matmul_precision(precision):
                     db_d = fe.mel_fn(consts, a_deg, n_deg)
                     db_r = fe.mel_fn(consts, a_ref, n_ref)
-                    segs_d, w_d = fe.seg_fn(db_d, n_deg)
-                    segs_r, w_r = fe.seg_fn(db_r, n_ref)
-                    x = jnp.stack([segs_d, segs_r], axis=2)  # (B, T, 2, M, S)
-                    n_wins = jnp.stack([w_d, w_r], axis=1)
-                    y, _ = model.apply(params, state, x, n_wins)
+                    y = _stack_and_apply(model, params, state,
+                                         [fe.seg_fn(db_d, n_deg),
+                                          fe.seg_fn(db_r, n_ref)])
                 return y, db_d, db_r
         else:
             def run(params, state, consts, audio, n_samples):
                 with jax.default_matmul_precision(precision):
                     db = fe.mel_fn(consts, audio, n_samples)
-                    segs, n_wins = fe.seg_fn(db, n_samples)
-                    y, _ = model.apply(params, state, segs, n_wins)
+                    y = _stack_and_apply(model, params, state,
+                                         [fe.seg_fn(db, n_samples)])
                 return y, db
 
         ckey = (sr, transport)
@@ -463,18 +477,13 @@ class InferenceEngine:
         if model.double_ended:
             def run(params, state, db_d, n_d, db_r, n_r):
                 with jax.default_matmul_precision(precision):
-                    segs_d, w_d = seg(db_d, n_d)
-                    segs_r, w_r = seg(db_r, n_r)
-                    x = jnp.stack([segs_d, segs_r], axis=2)
-                    n_wins = jnp.stack([w_d, w_r], axis=1)
-                    y, _ = model.apply(params, state, x, n_wins)
-                return y
+                    return _stack_and_apply(model, params, state,
+                                            [seg(db_d, n_d), seg(db_r, n_r)])
         else:
             def run(params, state, db, n):
                 with jax.default_matmul_precision(precision):
-                    segs, n_wins = seg(db, n)
-                    y, _ = model.apply(params, state, segs, n_wins)
-                return y
+                    return _stack_and_apply(model, params, state,
+                                            [seg(db, n)])
 
         jitted = jax.jit(run)
         self._pipelines[key] = jitted
@@ -666,7 +675,12 @@ class InferenceEngine:
         bs = self.batch_size
         M = ms.n_mels
         blocks_per = 2 if de else 1
-        if self._auto_fuse(plan):
+        if self.cache_mb <= 0:
+            # cache disabled: no pass can ever hit the cached-pass
+            # executables, so warming them would be pure wasted (slow
+            # remote) compiles
+            pass
+        elif self._auto_fuse(plan):
             # pre-compile + pre-load the fused cached-pass executable (the
             # AUTO cache-hit upgrade target: a cold compile on the first
             # cached pass would go through the slow remote-compile channel)
@@ -763,19 +777,8 @@ class InferenceEngine:
                         n = lax.slice(ns, ((b0 + k) * bs,), ((b0 + k + 1) * bs,))
                         return db.reshape(bs, F, M), n
 
-                    if de:
-                        db_d, n_d = block(0)
-                        db_r, n_r = block(1)
-                        segs_d, w_d = seg(db_d, n_d)
-                        segs_r, w_r = seg(db_r, n_r)
-                        x = jnp.stack([segs_d, segs_r], axis=2)
-                        n_wins = jnp.stack([w_d, w_r], axis=1)
-                        y, _ = model.apply(params, state, x, n_wins)
-                    else:
-                        db, n = block(0)
-                        segs, n_wins = seg(db, n)
-                        y, _ = model.apply(params, state, segs, n_wins)
-                    outs.append(y)
+                    ends = [seg(*block(k)) for k in range(blocks_per)]
+                    outs.append(_stack_and_apply(model, params, state, ends))
                 return jnp.concatenate(outs, axis=0)
 
         parts = (jax.jit(run), offsets)
@@ -1108,9 +1111,8 @@ class InferenceEngine:
                     buf = lax.slice(flat, (int(offsets[j]),), (int(offsets[j + 1]),))
                     buf = buf.reshape(bs, buf_lens[j])
                     n = lax.slice(ns, (j * bs,), ((j + 1) * bs,))
-                    segs, n_wins = fe(consts_tuple[j], buf, n)
-                    y, _ = model.apply(params, state, segs, n_wins)
-                    outs.append(y)
+                    outs.append(_stack_and_apply(
+                        model, params, state, [fe(consts_tuple[j], buf, n)]))
                 return jnp.concatenate(outs, axis=0)
 
         parts = (jax.jit(run), tuple(consts_list), offsets, buf_lens)

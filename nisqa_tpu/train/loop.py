@@ -136,13 +136,18 @@ class TrainEngine:
         (audio is data), and the standalone mel program pins the same
         explicit einsum precisions as the fused one, so the split step is
         numerically identical to recomputing the mel in-step."""
-        key = (n_targets, sr, bucket, kind, de, gather)
+        # the gather step consumes precomputed mel rows: the transport kind
+        # and the DFT/mel const tables are irrelevant to it, so drop both
+        # (keying on kind would compile two byte-identical executables when
+        # a corpus flips i16<->f32, ~20 min each on this relay)
+        key = (n_targets, sr, bucket, None if gather else kind, de, gather)
         if key in self._step_cache:
             return self._step_cache[key]
         from ..data.pipeline import front_end_consts
 
         fe, buf_len = _front_end(self.ms, sr, bucket)
-        consts = jax.device_put(front_end_consts(self.ms, sr, kind))
+        consts = (None if gather
+                  else jax.device_put(front_end_consts(self.ms, sr, kind)))
         model = self.model
         opt = self.opt
         loss_weight = self.loss_weight

@@ -113,8 +113,11 @@ def test_engine_fast_fe_close_to_exact(tmp_path):
     ckpt = _make_ckpt(tmp_path)
     model, params, state, args = load_model_from_tar(ckpt)
     paths = [str(tmp_path / n) for n in names]
+    # pin 'exact' explicitly: the auto default resolves to 'fast' at engine
+    # precision 'default', which would make this compare fast vs fast
     y_exact = InferenceEngine(model, params, state, MsConfig(args), batch_size=2,
-                              num_workers=1).predict_paths(paths)
+                              num_workers=1,
+                              fe_precision="exact").predict_paths(paths)
     y_fast = InferenceEngine(model, params, state, MsConfig(args), batch_size=2,
                              num_workers=1, fe_precision="fast").predict_paths(paths)
     assert np.abs(y_exact - y_fast).max() < 0.05
