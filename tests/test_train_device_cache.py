@@ -119,6 +119,37 @@ def test_device_corpus_matches_host_path(tmp_path):
                                    rtol=1e-5, atol=1e-6, err_msg=str(ka))
 
 
+def test_device_corpus_matches_host_path_de(tmp_path):
+    """The double-ended gather branch (resident mel_ref rows, paired
+    deg/ref on-device takes) must match the DE host-fill path exactly."""
+    from nisqa_tpu.model import NisqaTPU
+
+    no_drop = {"cnn_dropout": 0.0, "td_sa_dropout": 0.0, "pool_att_dropout": 0.0}
+    names = _write_equal_corpus(tmp_path, n=6)
+    refs = names[1:] + names[:1]  # reuse corpus files as refs, deg != ref
+
+    def de_args(out, **over):
+        a = _args(tmp_path, out, names, **over)
+        df = pd.read_csv(tmp_path / "corpus.csv")
+        df["ref"] = refs
+        df.to_csv(tmp_path / "corpus.csv", index=False)
+        return {**a, "model": "NISQA_DE", "csv_ref": "ref"}
+
+    run_a = NisqaTPU(de_args(tmp_path / "a", tr_ds_to_memory=True, **no_drop))
+    run_b = NisqaTPU(de_args(tmp_path / "b", tr_ds_to_memory=False, **no_drop))
+
+    eng_a, losses_a, yh_a = _run_epochs(run_a, n_epochs=1)
+    eng_b, losses_b, yh_b = _run_epochs(run_b, n_epochs=1)
+
+    assert eng_a._dev_corpus, "device corpus should be resident"
+    entry = next(iter(eng_a._dev_corpus.values()))
+    assert "mel_ref" in entry and entry["kind"] == "f32"
+
+    np.testing.assert_allclose(losses_a, losses_b, rtol=1e-5, atol=1e-6)
+    for ya, yb in zip(yh_a, yh_b):
+        np.testing.assert_allclose(ya, yb, rtol=1e-5, atol=1e-6)
+
+
 def test_no_host_audio_after_upload(tmp_path, monkeypatch):
     from nisqa_tpu.model import NisqaTPU
     from nisqa_tpu.train import loop as loop_mod
