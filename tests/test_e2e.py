@@ -237,7 +237,10 @@ def test_train_two_epochs(corpus, tmp_path):
     assert restored["meta"]["epoch"] == 2
 
 
-def test_train_dim_smoke(corpus, tmp_path):
+@pytest.mark.parametrize("to_memory", [False, True])
+def test_train_dim_smoke(corpus, tmp_path, to_memory):
+    # to_memory=True additionally exercises the 5-target gather train step
+    # over the mel-resident device corpus
     from nisqa_tpu.model import NisqaTPU
 
     tmp, names, ckpt = corpus
@@ -272,6 +275,7 @@ def test_train_dim_smoke(corpus, tmp_path):
         "tr_bias_mapping": "first_order",
         "tr_bias_min_r": 0.0,  # activate the bias-loss path immediately
         "tr_bias_anchor_db": None,
+        "tr_ds_to_memory": to_memory,
         "seed": 0,
     }
     runner = NisqaTPU(args)
