@@ -236,6 +236,12 @@ class TrainEngine:
 
     def _audio_f32(self, i, entries, paths, load):
         e = entries[i]
+        if e[0] == "meta":
+            # host audio for this row was released when its group went
+            # device-resident; resident rows must be gathered, not filled
+            raise RuntimeError(
+                f"host audio for device-resident row {paths[i]} was "
+                "released — this row should be served from the mel corpus")
         if e[0] in ("native", "native_f32"):
             return load(paths[i])[0]
         if e[0] == "i16":
@@ -315,7 +321,8 @@ class TrainEngine:
             by_sr.setdefault(e[2], []).append(i)
 
         def n_of(e):
-            return e[1] if e[0] in ("native", "native_f32") else len(e[1])
+            return (e[1] if e[0] in ("native", "native_f32", "meta")
+                    else len(e[1]))
 
         def rep(a):
             if self.mesh is not None:
@@ -391,6 +398,21 @@ class TrainEngine:
                 entry["n_ref"] = ns_r
             out[sr] = entry
             budget -= nbytes
+            # The resident mel rows supersede every host copy of this
+            # group's audio: drop the per-path decoded-audio cache AND the
+            # sample payloads embedded in fallback transport tuples (with
+            # ms_sr resampling that is the WHOLE corpus). Rows become light
+            # ('meta', n, sr) stubs — n/sr/grouping still work, the kind for
+            # these rows comes from the resident entry, and they are never
+            # host-filled while the corpus stays resident. Net host RAM
+            # while training: ~zero audio (the reference's `_to_memory`
+            # holds every mel in host RAM for the whole run).
+            for i in gidx:
+                self._audio_cache.pop(paths[i], None)
+                entries[i] = ("meta", n_of(entries[i]), sr)
+                if de:
+                    self._audio_cache.pop(paths_ref[i], None)
+                    entries_ref[i] = ("meta", n_of(entries_ref[i]), sr)
         return out
 
     def _rows_to_mel(self, buf, ns, sr, bucket, kind, rep):
@@ -545,7 +567,8 @@ class TrainEngine:
             audio_args = None
 
         def n_of(e):
-            return e[1] if e[0] in ("native", "native_f32") else len(e[1])
+            return (e[1] if e[0] in ("native", "native_f32", "meta")
+                    else len(e[1]))
 
         def n_wins_of(n_samples):
             return ms.n_wins(ms.n_frames(n_samples, sr))

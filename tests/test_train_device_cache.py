@@ -178,6 +178,14 @@ def test_no_host_audio_after_upload(tmp_path, monkeypatch):
     engine.run_epoch(runner.ds_train, bias_losses, 1e-3, rng_ep, batch_size=3)
     assert calls["n"] == 0, "epoch 2 must not touch host audio (corpus is resident)"
 
+    # and the host RAM copies were released when the group went resident:
+    # transport tuples became light ('meta', n, sr) stubs and the per-path
+    # decoded-audio cache holds nothing for corpus files
+    paths = runner.ds_train.paths()
+    entries = engine._entries(paths)
+    assert all(e[0] == "meta" for e in entries)
+    assert not any(p in engine._audio_cache for p in paths)
+
 
 def test_device_corpus_over_mesh(tmp_path):
     """Resident corpus replicated over the 8-device DP mesh; ragged batches
