@@ -262,10 +262,11 @@ class NisqaTPU:
     def train(self):
         from .train.loop import train_dim, train_mos
 
-        if self.args["dim"]:
-            train_dim(self)
-        else:
-            train_mos(self)
+        with self._profiled():
+            if self.args["dim"]:
+                train_dim(self)
+            else:
+                train_mos(self)
 
     # -- evaluation ----------------------------------------------------------
 

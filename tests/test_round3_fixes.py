@@ -88,3 +88,30 @@ def test_pass_stage_timings_and_prime_fetch(tmp_path):
     for k in ("scan_plan_s", "fill_s", "wait_s", "dispatch_s", "block_s",
               "fetch_s", "wall_s"):
         assert k in last and last[k] >= 0.0, (k, last)
+
+
+def test_profile_dir_captures_trace(tmp_path):
+    """SURVEY §5 tracing: args['profile_dir'] wraps predict AND train in a
+    jax.profiler trace that writes a device trace to disk (the reference
+    has no tracing at all)."""
+    import os
+
+    from tests.test_e2e import TINY_ARGS, _make_ckpt, _write_corpus
+    from nisqa_tpu.model import NisqaTPU
+
+    names = _write_corpus(tmp_path, n=2)
+    ckpt = _make_ckpt(tmp_path)
+    prof = tmp_path / "prof"
+    args = {
+        "mode": "predict_file",
+        "pretrained_model": ckpt,
+        "deg": str(tmp_path / names[0]),
+        "output_dir": None,
+        "tr_bs_val": 1,
+        "tr_num_workers": 0,
+        "name": "tiny",
+        "profile_dir": str(prof),
+    }
+    NisqaTPU(args).predict()
+    found = [os.path.join(r, f) for r, _, fs in os.walk(prof) for f in fs]
+    assert found, "profile_dir set but no trace files were written"
