@@ -347,7 +347,6 @@ class TrainEngine:
             bucket = next(b for b in ms.buckets() if max_nw <= b)
             kind = ("i16" if not de and all(entries[i][0] == "native" for i in gidx)
                     else "f32")
-            _, buf_len = _front_end(ms, sr, bucket)
             # pad the corpus row count to a 64 granularity: the gather
             # train step traces on the corpus array's shape, so padding makes
             # the compiled executable reusable across corpora of similar
@@ -361,40 +360,17 @@ class TrainEngine:
             if nbytes > budget:
                 continue
 
-            def fill(ents, pths):
-                if kind == "i16":
-                    from ..data import native
-
-                    buf = np.zeros((n_rows, buf_len), dtype=np.int16)
-                    ns, srs, status = native.fill_batch_i16(
-                        [pths[i] for i in gidx], buf[: len(gidx)], ms.n_fft // 2,
-                        n_threads=self._preload_threads(),
-                    )
-                    if (status == 0).all():
-                        for j, i in enumerate(gidx):
-                            validate_filled_row(ms, pths[i], ns[j],
-                                                ents[i][2], srs[j])
-                        return buf, ns.astype(np.int32)
-                buf = np.zeros((n_rows, buf_len), dtype=np.float32)
-                n_of_row = self._fill_rows_f32(
-                    buf[: len(gidx)], list(enumerate(gidx)), ents, pths, load,
-                    n_threads=self._preload_threads(),
-                )
-                ns = np.array([n_of_row[j] for j in range(len(gidx))], np.int32)
-                return buf, ns
-
-            buf, ns = fill(entries, paths)
-            if buf.dtype == np.float32 and kind == "i16":
-                kind = "f32"  # rare native-fill race: f32 rows, f32 consts
+            mel, ns = self._mel_corpus(entries, paths, gidx, sr, bucket,
+                                       kind == "i16", n_rows, rep, load)
             entry = {
-                "mel": self._rows_to_mel(buf, ns, sr, bucket, kind, rep),
-                "n": ns, "bucket": bucket, "kind": kind,
+                "mel": mel, "n": ns, "bucket": bucket, "kind": kind,
                 "local": {int(i): j for j, i in enumerate(gidx)},
             }
             if de:
-                buf_r, ns_r = fill(entries_ref, paths_ref)
-                entry["mel_ref"] = self._rows_to_mel(buf_r, ns_r, sr, bucket,
-                                                     "f32", rep)
+                mel_r, ns_r = self._mel_corpus(entries_ref, paths_ref, gidx,
+                                               sr, bucket, False, n_rows, rep,
+                                               load)
+                entry["mel_ref"] = mel_r
                 entry["n_ref"] = ns_r
             out[sr] = entry
             budget -= nbytes
@@ -415,13 +391,7 @@ class TrainEngine:
                     entries_ref[i] = ("meta", n_of(entries_ref[i]), sr)
         return out
 
-    def _rows_to_mel(self, buf, ns, sr, bucket, kind, rep):
-        """One-time on-device front-end over corpus audio rows, chunked (the
-        audio chunk uploads are transient — only the mel survives, so peak
-        HBM during conversion is mel + one 64-row audio chunk). The mel
-        program is the exact einsum front-end with its explicit precision
-        pins, so the rows are bit-identical to what the old fused step
-        computed in-step."""
+    def _mel_prog(self, sr, bucket, kind):
         from ..data.pipeline import front_end_consts
 
         fe, _ = _front_end(self.ms, sr, bucket)
@@ -429,16 +399,62 @@ class TrainEngine:
         if ckey not in self._step_cache:
             consts = jax.device_put(front_end_consts(self.ms, sr, kind))
             self._step_cache[ckey] = (jax.jit(fe.mel_fn), consts)
-        prog, consts = self._step_cache[ckey]
-        n_rows = buf.shape[0]
-        ns_full = np.zeros((n_rows,), np.int32)
-        ns_full[: len(ns)] = ns  # pad rows: n=0 -> 1 valid frame, finite dB
+        return self._step_cache[ckey]
+
+    def _mel_corpus(self, ents, pths, gidx, sr, bucket, want_i16, n_rows,
+                    rep, load):
+        """Stream the group's audio through the on-device front-end in
+        64-row chunks: fill (threaded C++/Python decode) -> upload -> mel,
+        then the chunk's host and device audio buffers are dropped. Peak
+        host RAM is ONE chunk of transport audio (not the whole corpus-
+        shaped buffer — for a corpus whose mel fits the 1 GB device budget
+        that buffer would be ~5 GB), and only the (n_rows, F, n_mels) f32
+        mel survives. The mel program is the exact einsum front-end with
+        its explicit precision pins, and the i16/f32 transports are
+        bit-identical downstream (scaling folded into the DFT weights), so
+        a chunk that can't take the native i16 path (decode race, odd
+        flavor) falls back to f32 without affecting numerics.
+
+        Returns (replicated mel (n_rows, F, M), ns (len(gidx),) int32)."""
+        ms = self.ms
+        _, buf_len = _front_end(ms, sr, bucket)
+        ns_real = np.zeros((len(gidx),), np.int32)
         chunks = []
         for s in range(0, n_rows, 64):
-            a = jax.device_put(np.ascontiguousarray(buf[s : s + 64]))
-            chunks.append(prog(consts, a, jnp.asarray(ns_full[s : s + 64])))
+            rows = gidx[s : s + 64]
+            m = len(rows)
+            buf = None
+            if want_i16 and m:
+                from ..data import native
+
+                ib = np.zeros((64, buf_len), np.int16)
+                ns, srs, status = native.fill_batch_i16(
+                    [pths[i] for i in rows], ib[:m], ms.n_fft // 2,
+                    n_threads=self._preload_threads(),
+                )
+                if (status == 0).all():
+                    for j, i in enumerate(rows):
+                        validate_filled_row(ms, pths[i], ns[j],
+                                            ents[i][2], srs[j])
+                    buf, cns, ckind = ib, ns.astype(np.int32), "i16"
+            if buf is None:
+                buf = np.zeros((64, buf_len), np.float32)
+                ckind = "f32"
+                cns = np.zeros((m,), np.int32)
+                if m:
+                    n_of_row = self._fill_rows_f32(
+                        buf[:m], list(enumerate(rows)), ents, pths, load,
+                        n_threads=self._preload_threads(),
+                    )
+                    cns = np.array([n_of_row[j] for j in range(m)], np.int32)
+            ns_real[s : s + m] = cns
+            nfull = np.zeros((64,), np.int32)
+            nfull[:m] = cns  # pad rows: n=0 -> 1 valid frame, finite dB
+            prog, consts = self._mel_prog(sr, bucket, ckind)
+            chunks.append(prog(consts, jax.device_put(buf),
+                               jnp.asarray(nfull)))
         mel = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
-        return rep(mel)
+        return rep(mel), ns_real
 
     def _device_corpus(self, paths, entries, paths_ref, entries_ref, de, load):
         if self._audio_cache is None:  # gated on tr_ds_to_memory
