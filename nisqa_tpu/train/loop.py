@@ -37,6 +37,13 @@ from .early_stop import EarlyStopper, EarlyStopperDim
 from .plateau import ReduceLROnPlateau
 
 
+def _n_of(e):
+    """Sample count of a transport entry: header-scanned ('native',
+    'native_f32') and released ('meta') entries carry n directly; decoded
+    entries ('i16', 'f32') carry the sample array."""
+    return e[1] if e[0] in ("native", "native_f32", "meta") else len(e[1])
+
+
 def nan_mse(pred, target):
     """Mean squared error over non-NaN targets (`NISQA_lib.py:1934-1938`)."""
     err = pred - target
@@ -56,14 +63,17 @@ class TrainEngine:
         self.opt = optax.scale_by_adam()
         self._step_cache = {}
         self.opt_state = self.opt.init(runner.params)
-        # tr_ds_to_memory analog (`NISQA_lib.py:2109-2127`): the reference
-        # caches mel specs in RAM; decoded audio is the cheaper equivalent
-        # here since the front-end runs on-device
+        # tr_ds_to_memory analog (`NISQA_lib.py:2109-2127`): host-side cache
+        # of transport entries + decoded audio for groups that do NOT go
+        # device-resident; resident groups release their host audio (their
+        # entries become ('meta', n, sr) stubs — see _build_device_corpus)
         self._audio_cache = {} if runner.args.get("tr_ds_to_memory") else None
-        # device-resident corpus (train analog of the serving engine's corpus
-        # cache): per sample rate, ONE (N, buf_len) array uploaded once;
-        # batches gather rows on device. Gated on tr_ds_to_memory, capped by
-        # tr_device_cache_mb (falls back to per-batch host fill when over).
+        # device-resident corpus (train analog of the serving engine's mel
+        # cache): per sample rate, ONE (N, F, n_mels) f32 array of
+        # precomputed MEL-dB rows, built streaming from 64-row audio chunks;
+        # batches gather rows on device and epochs never recompute the
+        # front-end. Gated on tr_ds_to_memory; tr_device_cache_mb budgets
+        # the MEL bytes (falls back to per-batch host fill when over).
         self._dev_corpus = None
         self._dev_corpus_key = None
         # explicit 0 disables residency (an `or`-default would coerce it)
@@ -320,10 +330,6 @@ class TrainEngine:
         for i, e in enumerate(entries):
             by_sr.setdefault(e[2], []).append(i)
 
-        def n_of(e):
-            return (e[1] if e[0] in ("native", "native_f32", "meta")
-                    else len(e[1]))
-
         def rep(a):
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -334,9 +340,9 @@ class TrainEngine:
         budget = int(self._dev_cache_mb * (1 << 20))
         out = {}
         for sr, gidx in sorted(by_sr.items()):
-            n_wins_all = [ms.n_wins(ms.n_frames(n_of(entries[i]), sr)) for i in gidx]
+            n_wins_all = [ms.n_wins(ms.n_frames(_n_of(entries[i]), sr)) for i in gidx]
             if de:
-                n_wins_all += [ms.n_wins(ms.n_frames(n_of(entries_ref[i]), sr)) for i in gidx]
+                n_wins_all += [ms.n_wins(ms.n_frames(_n_of(entries_ref[i]), sr)) for i in gidx]
             max_nw = max(n_wins_all)
             if max_nw > ms.max_segments:
                 # same guidance as the serving engine / reference
@@ -360,16 +366,19 @@ class TrainEngine:
             if nbytes > budget:
                 continue
 
-            mel, ns = self._mel_corpus(entries, paths, gidx, sr, bucket,
-                                       kind == "i16", n_rows, rep, load)
+            mel, ns, all_i16 = self._mel_corpus(entries, paths, gidx, sr,
+                                                bucket, kind == "i16", n_rows,
+                                                rep, load)
+            if kind == "i16" and not all_i16:
+                kind = "f32"  # rare native-fill race: some rows took f32
             entry = {
                 "mel": mel, "n": ns, "bucket": bucket, "kind": kind,
                 "local": {int(i): j for j, i in enumerate(gidx)},
             }
             if de:
-                mel_r, ns_r = self._mel_corpus(entries_ref, paths_ref, gidx,
-                                               sr, bucket, False, n_rows, rep,
-                                               load)
+                mel_r, ns_r, _ = self._mel_corpus(entries_ref, paths_ref,
+                                                  gidx, sr, bucket, False,
+                                                  n_rows, rep, load)
                 entry["mel_ref"] = mel_r
                 entry["n_ref"] = ns_r
             out[sr] = entry
@@ -385,10 +394,10 @@ class TrainEngine:
             # holds every mel in host RAM for the whole run).
             for i in gidx:
                 self._audio_cache.pop(paths[i], None)
-                entries[i] = ("meta", n_of(entries[i]), sr)
+                entries[i] = ("meta", _n_of(entries[i]), sr)
                 if de:
                     self._audio_cache.pop(paths_ref[i], None)
-                    entries_ref[i] = ("meta", n_of(entries_ref[i]), sr)
+                    entries_ref[i] = ("meta", _n_of(entries_ref[i]), sr)
         return out
 
     def _mel_prog(self, sr, bucket, kind):
@@ -415,11 +424,13 @@ class TrainEngine:
         a chunk that can't take the native i16 path (decode race, odd
         flavor) falls back to f32 without affecting numerics.
 
-        Returns (replicated mel (n_rows, F, M), ns (len(gidx),) int32)."""
+        Returns (replicated mel (n_rows, F, M), ns (len(gidx),) int32,
+        all_i16: whether every chunk actually took the i16 path)."""
         ms = self.ms
         _, buf_len = _front_end(ms, sr, bucket)
         ns_real = np.zeros((len(gidx),), np.int32)
         chunks = []
+        all_i16 = bool(want_i16)
         for s in range(0, n_rows, 64):
             rows = gidx[s : s + 64]
             m = len(rows)
@@ -440,6 +451,7 @@ class TrainEngine:
             if buf is None:
                 buf = np.zeros((64, buf_len), np.float32)
                 ckind = "f32"
+                all_i16 = False
                 cns = np.zeros((m,), np.int32)
                 if m:
                     n_of_row = self._fill_rows_f32(
@@ -454,7 +466,7 @@ class TrainEngine:
             chunks.append(prog(consts, jax.device_put(buf),
                                jnp.asarray(nfull)))
         mel = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
-        return rep(mel), ns_real
+        return rep(mel), ns_real, all_i16
 
     def _device_corpus(self, paths, entries, paths_ref, entries_ref, de, load):
         if self._audio_cache is None:  # gated on tr_ds_to_memory
@@ -582,10 +594,6 @@ class TrainEngine:
         else:
             audio_args = None
 
-        def n_of(e):
-            return (e[1] if e[0] in ("native", "native_f32", "meta")
-                    else len(e[1]))
-
         def n_wins_of(n_samples):
             return ms.n_wins(ms.n_frames(n_samples, sr))
 
@@ -616,9 +624,9 @@ class TrainEngine:
             return buf, n
 
         if audio_args is None:
-            max_nw = max(n_wins_of(n_of(entries[i])) for i in idx)
+            max_nw = max(n_wins_of(_n_of(entries[i])) for i in idx)
             if de:
-                max_nw = max(max_nw, max(n_wins_of(n_of(entries_ref[i])) for i in idx))
+                max_nw = max(max_nw, max(n_wins_of(_n_of(entries_ref[i])) for i in idx))
             bucket = next(b for b in ms.buckets() if max_nw <= b)
             step_fn, buf_len = self._step(K, sr, bucket, kind, de)
 

@@ -96,11 +96,18 @@ def test_profile_dir_captures_trace(tmp_path):
     has no tracing at all)."""
     import os
 
+    import numpy as np
+    import pandas as pd
+
     from tests.test_e2e import TINY_ARGS, _make_ckpt, _write_corpus
     from nisqa_tpu.model import NisqaTPU
 
-    names = _write_corpus(tmp_path, n=2)
+    names = _write_corpus(tmp_path, n=6)
     ckpt = _make_ckpt(tmp_path)
+
+    def trace_files(d):
+        return [os.path.join(r, f) for r, _, fs in os.walk(d) for f in fs]
+
     prof = tmp_path / "prof"
     args = {
         "mode": "predict_file",
@@ -113,5 +120,28 @@ def test_profile_dir_captures_trace(tmp_path):
         "profile_dir": str(prof),
     }
     NisqaTPU(args).predict()
-    found = [os.path.join(r, f) for r, _, fs in os.walk(prof) for f in fs]
-    assert found, "profile_dir set but no trace files were written"
+    assert trace_files(prof), "predict under profile_dir wrote no trace"
+
+    # training runs must trace too
+    rng = np.random.default_rng(3)
+    pd.DataFrame({
+        "filename": names, "db": ["T"] * 4 + ["V"] * 2,
+        "mos": rng.uniform(1, 5, len(names)).round(2),
+    }).to_csv(tmp_path / "corpus.csv", index=False)
+    prof_tr = tmp_path / "prof_train"
+    targs = {
+        **TINY_ARGS,
+        "mode": "main", "pretrained_model": False,
+        "data_dir": str(tmp_path), "output_dir": str(tmp_path / "out"),
+        "csv_file": "corpus.csv", "csv_deg": "filename",
+        "csv_mos_train": "mos", "csv_mos_val": "mos",
+        "csv_db_train": ["T"], "csv_db_val": ["V"], "csv_con": None,
+        "tr_epochs": 1, "tr_early_stop": 5, "tr_bs": 3, "tr_bs_val": 2,
+        "tr_lr": 1e-3, "tr_lr_patience": 15, "tr_num_workers": 0,
+        "tr_parallel": False, "tr_checkpoint": "best_only", "tr_verbose": 0,
+        "tr_bias_mapping": None, "tr_bias_min_r": None,
+        "tr_bias_anchor_db": None, "seed": 0,
+        "profile_dir": str(prof_tr),
+    }
+    NisqaTPU(targs).train()
+    assert trace_files(prof_tr), "train under profile_dir wrote no trace"
