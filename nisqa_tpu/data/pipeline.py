@@ -675,10 +675,14 @@ class InferenceEngine:
         bs = self.batch_size
         M = ms.n_mels
         blocks_per = 2 if de else 1
-        if self.cache_mb <= 0:
-            # cache disabled: no pass can ever hit the cached-pass
-            # executables, so warming them would be pure wasted (slow
-            # remote) compiles
+        # cached-pass executables can only ever be hit if the corpus fits
+        # the cache: with the cache off, or a corpus whose resident mel
+        # blocks alone exceed the cap (_cache_store rejects such entries),
+        # warming them would be pure wasted (slow remote) compiles
+        est_cached = sum(
+            blocks_per * (bs * ms.frames_for_bucket(b) * M * 4 + bs * 4)
+            for (_, b, _), _ in plan)
+        if self.cache_mb <= 0 or est_cached > self.cache_mb * (1 << 20):
             pass
         elif self._auto_fuse(plan):
             # pre-compile + pre-load the fused cached-pass executable (the
