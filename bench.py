@@ -147,12 +147,18 @@ def main():
     # Cold-cache XLA compiles go through the relay's remote-compile channel,
     # which leaves that process's host link degraded (docs/RELAY_NOTES.md).
     # Populate the persistent compilation cache in a throwaway subprocess so
-    # the measuring process only ever loads from disk.
-    subprocess.run(
+    # the measuring process only ever loads from disk. A transient priming
+    # failure (e.g. the shared TPU pool dropping out mid-compile) is
+    # reported but NOT fatal: the measuring run below retries the compiles
+    # itself — a degraded-link number beats no number.
+    prime = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--warm-cache-only"],
-        check=True,
-        capture_output=True,
+        capture_output=True, text=True,
     )
+    if prime.returncode != 0:
+        print("warning: cache-priming subprocess failed "
+              f"(exit {prime.returncode}); measuring anyway.\n"
+              f"{prime.stderr[-2000:]}", file=sys.stderr)
 
     total_audio_sec, wall = _run()
     value = total_audio_sec / wall
