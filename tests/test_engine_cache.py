@@ -229,3 +229,25 @@ def test_cache_with_mesh_predict(tmp_path):
     single = _engine(tmp_path, batch_size=8, cache_mb=0)
     y0 = single.predict_paths(paths)
     assert np.abs(y1 - y0).max() < 1e-5
+
+
+def test_warmup_skips_cached_pass_compiles_when_cache_cannot_fit(tmp_path):
+    """Cached-pass executables (fused-mel / per-batch seg) can never be
+    dispatched when the cache is off or the corpus cannot fit the cap —
+    warmup must not compile them (each cold compile is a slow remote
+    compile on the relay)."""
+    names = _write_corpus(tmp_path, n=5)
+    paths = [str(tmp_path / n) for n in names]
+
+    def cached_keys(eng):
+        return [k for k in eng._pipelines
+                if isinstance(k, tuple) and k and k[0] in ("mel_fused", "seg")]
+
+    for kw in ({"cache_mb": 0}, {"cache_mb": 1e-6}):
+        eng = _engine(tmp_path, batch_size=2, **kw)
+        eng.warmup(paths)
+        assert not cached_keys(eng), (kw, cached_keys(eng))
+
+    eng = _engine(tmp_path, batch_size=2, cache_mb=256)
+    eng.warmup(paths)
+    assert cached_keys(eng), "default cache must still warm the cached pass"
