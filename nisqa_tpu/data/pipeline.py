@@ -675,15 +675,35 @@ class InferenceEngine:
         bs = self.batch_size
         M = ms.n_mels
         blocks_per = 2 if de else 1
-        # cached-pass executables can only ever be hit if the corpus fits
-        # the cache: with the cache off, or a corpus whose resident mel
-        # blocks alone exceed the cap (_cache_store rejects such entries),
-        # warming them would be pure wasted (slow remote) compiles
-        est_cached = sum(
-            blocks_per * (bs * ms.frames_for_bucket(b) * M * 4 + bs * 4)
-            for (_, b, _), _ in plan)
-        if self.cache_mb <= 0 or est_cached > self.cache_mb * (1 << 20):
+        # cached-pass executables are only ever hit for the batches that can
+        # go resident: with the cache off, or when not even the first plan
+        # batch's mel block fits the cap (the partial-caching greedy then
+        # stores nothing), warming them is pure wasted (slow remote) compiles
+        def block_bytes(bucket):
+            return blocks_per * (bs * ms.frames_for_bucket(bucket) * M * 4 + bs * 4)
+
+        cap = int(self.cache_mb * (1 << 20))
+        est_cached = sum(block_bytes(b) for (_, b, _), _ in plan)
+        resident_keys, used = set(), 0
+        for gkey, _ in plan:  # mirror the partial-caching greedy
+            b = block_bytes(gkey[1])
+            if used + b <= cap:
+                resident_keys.add(gkey)
+                used += b
+        if self.cache_mb <= 0 or not resident_keys:
             pass
+        elif est_cached > cap:
+            # PARTIAL regime: cached passes dispatch per-batch seg+model for
+            # the resident subset (never mel_fused) — warm those pipelines
+            for sr, bucket, kind in sorted(resident_keys):
+                run = self._seg_pipeline(sr, bucket)
+                db = np.zeros((bs, ms.frames_for_bucket(bucket), M), np.float32)
+                n = np.full((bs,), full_n(sr, bucket), np.int32)
+                if self._data_sharding is not None:
+                    db = jax.device_put(db, self._data_sharding)
+                    n = jax.device_put(n, self._data_sharding)
+                args = (db, n) * (2 if de else 1)
+                run(self.params, self.state, *args).block_until_ready()
         elif self._auto_fuse(plan):
             # pre-compile + pre-load the fused cached-pass executable (the
             # AUTO cache-hit upgrade target: a cold compile on the first
@@ -834,6 +854,67 @@ class InferenceEngine:
         self._corpus_cache[fp] = entry
         self._cache_bytes += entry["bytes"]
 
+    def _partial_cached_pass(self, hit, paths, paths_ref, N, fetch, timings):
+        """Cache hit for a corpus that only partially fits ``cache_mb``:
+        the resident batches run segment+model over their cached MEL blocks
+        (no decode, no upload); the cold tail re-decodes and re-uploads each
+        pass. Resident batches dispatch FIRST (host-cheap, async) so the
+        device chews on them while the filler thread decodes the tail.
+        Only the tail's files are header-scanned."""
+        de = self.model.double_ended
+        bs = self.batch_size
+        cold = hit["cold"]
+
+        # sparse per-corpus-index transport lists covering only tail files
+        tail_idx = sorted({i for _, chunk in cold for i in chunk})
+        audio = [None] * N
+        for i, e in zip(tail_idx, self._scan_transport([paths[i] for i in tail_idx])):
+            audio[i] = e
+        audio_ref = None
+        if de:
+            audio_ref = [None] * N
+            for i, e in zip(tail_idx,
+                            self._scan_transport([paths_ref[i] for i in tail_idx])):
+                audio_ref[i] = e
+
+        for gkey, _ in cold:
+            self._pipeline(*gkey)  # ensure buf_lens/consts exist before fills
+        timings["fill_s"] = 0.0
+
+        def _fill(ordinal, gkey, chunk):
+            tf = time.perf_counter()
+            args = self._make_batch(
+                chunk, audio, audio_ref, self._buf_lens[gkey], bs, de, gkey[2],
+                paths=paths, paths_ref=paths_ref, ordinal=ordinal,
+            )
+            timings["fill_s"] += time.perf_counter() - tf
+            return args
+
+        fills = [
+            self._fill_pool().submit(_fill, j, gkey, chunk)
+            for j, (gkey, chunk) in enumerate(cold)
+        ]
+        pending = [
+            (chunk, self._seg_pipeline(gkey[0], gkey[1])(
+                self.params, self.state, *args))
+            for gkey, chunk, args in hit["batches"]
+        ]
+        wait_s = dispatch_s = 0.0
+        for (gkey, chunk), fut in zip(cold, fills):
+            tw = time.perf_counter()
+            batch_args = fut.result()
+            td = time.perf_counter()
+            wait_s += td - tw
+            run = self._pipeline(*gkey)
+            if self._data_sharding is not None:
+                batch_args = tuple(jax.device_put(a, self._data_sharding)
+                                   for a in batch_args)
+            outs = run(self.params, self.state, *batch_args)
+            pending.append((chunk, outs[0]))
+            dispatch_s += time.perf_counter() - td
+        timings.update(wait_s=wait_s, dispatch_s=dispatch_s)
+        return self._collect(pending, N, fetch, timings=timings)
+
     def predict_paths(self, paths, paths_ref=None, fetch=True):
         """Predict for a list of audio paths -> (N, out_dim) float32.
 
@@ -872,6 +953,15 @@ class InferenceEngine:
                                         hit["flat"], hit["ns"])
                 out = self._collect_fused(all_dev, hit["plan"], N, fetch,
                                           timings=timings)
+            elif hit.get("cold"):
+                # PARTIAL hit (corpus bigger than cache_mb): resident
+                # batches dispatch from their cached mel blocks; only the
+                # cold-tail files are re-scanned, re-decoded and re-uploaded
+                out = self._partial_cached_pass(hit, paths, paths_ref, N,
+                                                fetch, timings)
+                self._note_pass("cached_partial", N, len(hit["plan"]), t0,
+                                t0, time.perf_counter(), timings)
+                return out
             elif self._auto_fuse(hit["plan"]):
                 # AUTO fuse: upgrade once to one executable for the whole
                 # cached pass over the resident MEL blocks — one execute RPC
@@ -979,10 +1069,27 @@ class InferenceEngine:
                 cached_batches.append((gkey, chunk, args))
             dispatch_s += time.perf_counter() - td
         if caching:
-            self._cache_store(fp, {
-                "mode": "mel", "plan": plan, "batches": cached_batches,
-                "bytes": sum(a.nbytes for _, _, args in cached_batches for a in args),
-            })
+            # PARTIAL caching: a corpus bigger than the cap keeps as many
+            # batch mel blocks resident as fit (plan order = longest files
+            # first); the remainder is recorded as a cold tail that cached
+            # passes re-fill per pass. All-or-nothing would make every pass
+            # fully cold the moment the corpus outgrows cache_mb. (The
+            # reference's `_to_memory` has no cap at all — it just grows
+            # host RAM, NISQA_lib.py:2109-2127.)
+            cap = int(self.cache_mb * (1 << 20))
+            resident, cold_tail, used = [], [], 0
+            for gkey, chunk, args in cached_batches:
+                b = sum(a.nbytes for a in args)
+                if used + b <= cap:
+                    resident.append((gkey, chunk, args))
+                    used += b
+                else:
+                    cold_tail.append((gkey, chunk))
+            if resident:
+                self._cache_store(fp, {
+                    "mode": "mel", "plan": plan, "batches": resident,
+                    "cold": cold_tail, "bytes": used,
+                })
         timings.update(wait_s=wait_s, dispatch_s=dispatch_s)
         out = self._collect(pending, N, fetch, timings=timings)
         self._note_pass("interleaved", N, len(plan), t0, t_plan,
@@ -1002,7 +1109,7 @@ class InferenceEngine:
         s = self.stats
         s["passes"] += 1
         s["files"] += n_files
-        s["cache_hits"] += 1 if mode == "cached" else 0
+        s["cache_hits"] += 1 if mode in ("cached", "cached_partial") else 0
         s["last"] = {
             "mode": mode,
             "files": n_files,

@@ -231,6 +231,68 @@ def test_cache_with_mesh_predict(tmp_path):
     assert np.abs(y1 - y0).max() < 1e-5
 
 
+def test_partial_cache_over_cap(tmp_path, monkeypatch):
+    """A corpus bigger than cache_mb keeps the batches that fit resident
+    (plan order, longest files first) and records the rest as a cold tail:
+    cached passes dispatch residents from their mel blocks and re-decode
+    only the tail — scanning ONLY the tail's files. All-or-nothing caching
+    would make every pass fully cold here. (The reference's `_to_memory`
+    has no cap at all, NISQA_lib.py:2109-2127.)"""
+    names = _write_corpus(tmp_path, n=6)
+    paths = [str(tmp_path / n) for n in names]
+    e0 = _engine(tmp_path, batch_size=2, cache_mb=0)
+    y0 = e0.predict_paths(paths)
+
+    # measure the per-batch resident block sizes from a fully-cached engine
+    e_full = _engine(tmp_path, batch_size=2, cache_mb=256)
+    e_full.predict_paths(paths)
+    sizes = [sum(a.nbytes for a in args) for _, _, args in
+             next(iter(e_full._corpus_cache.values()))["batches"]]
+    assert len(sizes) == 3  # ceil(6/2)
+
+    # cap fits the first two batches but not the third
+    cap_mb = (sizes[0] + sizes[1] + 1) / (1 << 20)
+    eng = _engine(tmp_path, batch_size=2, cache_mb=cap_mb)
+    y1 = eng.predict_paths(paths)
+    entry = next(iter(eng._corpus_cache.values()))
+    assert entry["mode"] == "mel"
+    assert len(entry["batches"]) == 2 and len(entry["cold"]) == 1
+
+    scanned = []
+    orig = eng._scan_transport
+    monkeypatch.setattr(eng, "_scan_transport",
+                        lambda ps: (scanned.append(list(ps)) or orig(ps)))
+    y2 = eng.predict_paths(paths)
+    assert eng.stats["last"]["mode"] == "cached_partial"
+    assert eng.stats["cache_hits"] == 1
+    tail_files = {i for _, chunk in entry["cold"] for i in chunk}
+    assert scanned and all(len(ps) == len(tail_files) for ps in scanned)
+    np.testing.assert_allclose(y2, y1, atol=1e-6)
+    np.testing.assert_allclose(y2, y0, atol=1e-6)
+    y3 = eng.predict_paths(paths)  # repeat partial passes are bit-identical
+    np.testing.assert_array_equal(y2, y3)
+    # the entry must never upgrade to mel_fused while a cold tail exists
+    assert next(iter(eng._corpus_cache.values()))["mode"] == "mel"
+
+
+def test_warmup_partial_cache_warms_resident_seg_only(tmp_path):
+    """Under the partial regime warmup compiles the per-batch seg+model
+    executables (what partial cached passes dispatch), not the fused-mel
+    pass (which needs the whole corpus resident)."""
+    names = _write_corpus(tmp_path, n=6)
+    paths = [str(tmp_path / n) for n in names]
+    e_full = _engine(tmp_path, batch_size=2, cache_mb=256)
+    e_full.predict_paths(paths)
+    sizes = [sum(a.nbytes for a in args) for _, _, args in
+             next(iter(e_full._corpus_cache.values()))["batches"]]
+    eng = _engine(tmp_path, batch_size=2,
+                  cache_mb=(sizes[0] + 1) / (1 << 20))
+    eng.warmup(paths)
+    assert any(isinstance(k, tuple) and k and k[0] == "seg"
+               for k in eng._pipelines)
+    assert not _has_mel_fused_pipeline(eng)
+
+
 def test_warmup_skips_cached_pass_compiles_when_cache_cannot_fit(tmp_path):
     """Cached-pass executables (fused-mel / per-batch seg) can never be
     dispatched when the cache is off or the corpus cannot fit the cap —
