@@ -866,6 +866,7 @@ class InferenceEngine:
         cold = hit["cold"]
 
         # sparse per-corpus-index transport lists covering only tail files
+        ts = time.perf_counter()
         tail_idx = sorted({i for _, chunk in cold for i in chunk})
         audio = [None] * N
         for i, e in zip(tail_idx, self._scan_transport([paths[i] for i in tail_idx])):
@@ -876,6 +877,7 @@ class InferenceEngine:
             for i, e in zip(tail_idx,
                             self._scan_transport([paths_ref[i] for i in tail_idx])):
                 audio_ref[i] = e
+        timings["scan_plan_s"] = time.perf_counter() - ts
 
         for gkey, _ in cold:
             self._pipeline(*gkey)  # ensure buf_lens/consts exist before fills

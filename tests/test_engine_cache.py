@@ -275,6 +275,41 @@ def test_partial_cache_over_cap(tmp_path, monkeypatch):
     assert next(iter(eng._corpus_cache.values()))["mode"] == "mel"
 
 
+def test_partial_cache_double_ended(tmp_path):
+    """DE partial hits re-scan/re-fill the cold tail's deg AND ref files
+    (sparse transport lists for both sides)."""
+    from nisqa_tpu.compat.torch_ckpt import load_model_from_tar
+    from nisqa_tpu.data.pipeline import InferenceEngine, MsConfig
+    from tests.test_e2e_de_eval import _make_de_ckpt
+
+    names = _write_corpus(tmp_path, n=8)
+    paths = [str(tmp_path / n) for n in names[:4]]
+    refs = [str(tmp_path / n) for n in names[4:]]
+    ckpt = _make_de_ckpt(tmp_path)
+    model, params, state, args = load_model_from_tar(ckpt)
+
+    def de_engine(**kw):
+        return InferenceEngine(model, params, state, MsConfig(args),
+                               batch_size=2, num_workers=1, **kw)
+
+    y0 = de_engine(cache_mb=0).predict_paths(paths, refs)
+    e_full = de_engine(cache_mb=256)
+    e_full.predict_paths(paths, refs)
+    sizes = [sum(a.nbytes for a in ar) for _, _, ar in
+             next(iter(e_full._corpus_cache.values()))["batches"]]
+    assert len(sizes) == 2  # ceil(4/2)
+    eng = de_engine(cache_mb=(sizes[0] + 1) / (1 << 20))
+    y1 = eng.predict_paths(paths, refs)
+    entry = next(iter(eng._corpus_cache.values()))
+    assert len(entry["batches"]) == 1 and len(entry["cold"]) == 1
+    y2 = eng.predict_paths(paths, refs)
+    assert eng.stats["last"]["mode"] == "cached_partial"
+    np.testing.assert_allclose(y2, y1, atol=1e-6)
+    np.testing.assert_allclose(y2, y0, atol=1e-6)
+    y3 = eng.predict_paths(paths, refs)
+    np.testing.assert_array_equal(y2, y3)
+
+
 def test_warmup_partial_cache_warms_resident_seg_only(tmp_path):
     """Under the partial regime warmup compiles the per-batch seg+model
     executables (what partial cached passes dispatch), not the fused-mel
