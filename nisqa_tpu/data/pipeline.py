@@ -298,6 +298,23 @@ def _stack_and_apply(model, params, state, ends):
     return y
 
 
+def _resident_split(items, bytes_of, cap):
+    """The partial-caching greedy — single source of truth for the cold
+    pass's store (actual nbytes) and warmup's mirror (byte estimates): walk
+    ``items`` in plan order, keep every item whose bytes still fit under
+    ``cap`` resident; the rest go cold. Not prefix-only: a too-big batch is
+    skipped but later smaller ones may still fit."""
+    resident, cold, used = [], [], 0
+    for it in items:
+        b = bytes_of(it)
+        if used + b <= cap:
+            resident.append(it)
+            used += b
+        else:
+            cold.append(it)
+    return resident, cold, used
+
+
 class InferenceEngine:
     """Compiled predict pipelines keyed by (sample_rate, T bucket, batch)."""
 
@@ -682,17 +699,20 @@ class InferenceEngine:
         def block_bytes(bucket):
             return blocks_per * (bs * ms.frames_for_bucket(bucket) * M * 4 + bs * 4)
 
-        cap = int(self.cache_mb * (1 << 20))
+        cap = self._cap_bytes()
         est_cached = sum(block_bytes(b) for (_, b, _), _ in plan)
-        resident_keys, used = set(), 0
-        for gkey, _ in plan:  # mirror the partial-caching greedy
-            b = block_bytes(gkey[1])
-            if used + b <= cap:
-                resident_keys.add(gkey)
-                used += b
+        res_items, _, _ = _resident_split(
+            plan, lambda e: block_bytes(e[0][1]), cap)
+        resident_keys = {gkey for gkey, _ in res_items}
         if self.cache_mb <= 0 or not resident_keys:
             pass
         elif est_cached > cap:
+            if self._use_fused(plan):
+                # fuse_pass=True engines store only all-or-nothing 'fused'
+                # entries (rejected over-cap) — they never dispatch the
+                # partial regime's seg+model executables; warming them here
+                # would be pure wasted (slow remote) compiles
+                resident_keys = set()
             # PARTIAL regime: cached passes dispatch per-batch seg+model for
             # the resident subset (never mel_fused) — warm those pipelines
             for sr, bucket, kind in sorted(resident_keys):
@@ -844,8 +864,11 @@ class InferenceEngine:
         except OSError:
             return None
 
+    def _cap_bytes(self):
+        return int(self.cache_mb * (1 << 20))
+
     def _cache_store(self, fp, entry):
-        cap = int(self.cache_mb * (1 << 20))
+        cap = self._cap_bytes()
         if entry["bytes"] > cap:
             return
         while self._cache_bytes + entry["bytes"] > cap and self._corpus_cache:
@@ -864,6 +887,15 @@ class InferenceEngine:
         de = self.model.double_ended
         bs = self.batch_size
         cold = hit["cold"]
+
+        # resident batches dispatch BEFORE the tail scan: their (async)
+        # dispatches depend on nothing host-side, so the device chews on
+        # them while this thread scans/decodes the tail
+        pending = [
+            (chunk, self._seg_pipeline(gkey[0], gkey[1])(
+                self.params, self.state, *args))
+            for gkey, chunk, args in hit["batches"]
+        ]
 
         # sparse per-corpus-index transport lists covering only tail files
         ts = time.perf_counter()
@@ -895,11 +927,6 @@ class InferenceEngine:
         fills = [
             self._fill_pool().submit(_fill, j, gkey, chunk)
             for j, (gkey, chunk) in enumerate(cold)
-        ]
-        pending = [
-            (chunk, self._seg_pipeline(gkey[0], gkey[1])(
-                self.params, self.state, *args))
-            for gkey, chunk, args in hit["batches"]
         ]
         wait_s = dispatch_s = 0.0
         for (gkey, chunk), fut in zip(cold, fills):
@@ -1078,15 +1105,10 @@ class InferenceEngine:
             # fully cold the moment the corpus outgrows cache_mb. (The
             # reference's `_to_memory` has no cap at all — it just grows
             # host RAM, NISQA_lib.py:2109-2127.)
-            cap = int(self.cache_mb * (1 << 20))
-            resident, cold_tail, used = [], [], 0
-            for gkey, chunk, args in cached_batches:
-                b = sum(a.nbytes for a in args)
-                if used + b <= cap:
-                    resident.append((gkey, chunk, args))
-                    used += b
-                else:
-                    cold_tail.append((gkey, chunk))
+            resident, cold, used = _resident_split(
+                cached_batches, lambda t: sum(a.nbytes for a in t[2]),
+                self._cap_bytes())
+            cold_tail = [(gkey, chunk) for gkey, chunk, _ in cold]
             if resident:
                 self._cache_store(fp, {
                     "mode": "mel", "plan": plan, "batches": resident,
@@ -1117,7 +1139,9 @@ class InferenceEngine:
             "files": n_files,
             "batches": n_batches,
             "wall_s": round(t_end - t0, 4),
-            # header-scan + plan host time; zero on cache hits
+            # header-scan + plan host time; zero on full cache hits (a
+            # cached_partial pass overrides it via ``timings`` with the
+            # cold tail's re-scan time)
             "scan_plan_s": round(t_plan - t0, 4),
             **{k: round(v, 4) for k, v in (timings or {}).items()},
         }

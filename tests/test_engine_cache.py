@@ -323,9 +323,20 @@ def test_warmup_partial_cache_warms_resident_seg_only(tmp_path):
     eng = _engine(tmp_path, batch_size=2,
                   cache_mb=(sizes[0] + 1) / (1 << 20))
     eng.warmup(paths)
-    assert any(isinstance(k, tuple) and k and k[0] == "seg"
-               for k in eng._pipelines)
+
+    def seg_keys(e):
+        return [k for k in e._pipelines
+                if isinstance(k, tuple) and k and k[0] == "seg"]
+
+    assert seg_keys(eng)
     assert not _has_mel_fused_pipeline(eng)
+    # fuse_pass=True engines store only all-or-nothing 'fused' entries and
+    # never dispatch the partial regime — warmup must not compile its
+    # seg+model executables for them
+    e_fused = _engine(tmp_path, batch_size=2, fuse_pass=True,
+                      cache_mb=(sizes[0] + 1) / (1 << 20))
+    e_fused.warmup(paths)
+    assert not seg_keys(e_fused)
 
 
 def test_warmup_skips_cached_pass_compiles_when_cache_cannot_fit(tmp_path):
