@@ -64,9 +64,32 @@ def _unsupported(path: str, fmt: str) -> WavFormatError:
     (`/root/reference/nisqa/NISQA_lib.py:2298-2306`)."""
     what = f"detected format '{fmt}'" if fmt != "unknown" else "unrecognised format"
     return WavFormatError(
-        f"Error loading file {path}: {what}. Only WAV (PCM/IEEE-float) and "
-        "FLAC are decodable; convert mp3/ogg/m4a inputs to wav or flac first."
+        f"Error loading file {path}: {what}. WAV (PCM/IEEE-float) and FLAC "
+        "decode natively; mp3/ogg/m4a/opus need the system FFmpeg libraries "
+        "(unavailable or failed here) — convert to wav or flac first."
     )
+
+
+def _read_via_codec(path: str, kind: str, channel: int | None, mono: bool):
+    """Decode a compressed file through the system-codec shim (the
+    reference's audioread analog, `NISQA_lib.py:2298-2306`). Returns
+    (samples, sr) or raises the actionable format error when the host has
+    no codec libraries or the decode fails."""
+    from . import codec
+
+    if not codec.available():
+        raise _unsupported(path, kind)
+    try:
+        x, sr = codec.decode(path)
+    except codec.CodecError as e:
+        err = _unsupported(path, kind)
+        raise WavFormatError(f"{err} (codec: {e})") from e
+    if x.ndim > 1:
+        if channel is not None:
+            x = x[channel]
+        elif mono:
+            x = x.mean(axis=0).astype(np.float32)
+    return x, sr
 
 
 def _parse_chunks(buf: bytes):
@@ -140,7 +163,7 @@ def read_wav(path: str, channel: int | None = None, mono: bool = True):
 
         return read_flac(path, channel=channel, mono=mono)
     if kind != "wav":
-        raise _unsupported(path, kind)
+        return _read_via_codec(path, kind, channel, mono)
 
     fmt_tag = None
     bits = None
@@ -185,6 +208,10 @@ def read_wav_pcm16_mono(path: str):
 
         return read_flac_pcm16_mono(path)
     if kind != "wav":
+        from . import codec
+
+        if codec.available():
+            return None  # caller falls back to read_wav -> codec decode
         raise _unsupported(path, kind)
     fmt_tag = bits = n_channels = None
     data = None

@@ -174,10 +174,16 @@ class NisqaTPU:
 
     def _load_dir(self):
         # the reference globs *.wav only (`NISQA_model.py:745-777`); *.flac is
-        # additionally accepted since the decoder supports it natively
+        # additionally accepted since the decoder supports it natively, and
+        # compressed formats when the system FFmpeg libraries are present
+        # (the reference's audioread analog, `NISQA_lib.py:2298-2306`)
+        exts = ["*.wav", "*.flac"]
+        from .audio import codec
+
+        if codec.available():
+            exts += ["*.mp3", "*.ogg", "*.m4a", "*.opus"]
         files = sorted(
-            glob(os.path.join(self.args["data_dir"], "*.wav"))
-            + glob(os.path.join(self.args["data_dir"], "*.flac"))
+            f for e in exts for f in glob(os.path.join(self.args["data_dir"], e))
         )
         df = pd.DataFrame([os.path.basename(f) for f in files], columns=["deg"])
         print(f"# files: {len(df)}")
