@@ -17,7 +17,7 @@ from tests.test_e2e import TINY_ARGS, _make_ckpt, _write_corpus
 needs_codec = pytest.mark.skipif(
     not codec.available(), reason="system FFmpeg libraries unavailable")
 
-FORMATS = ["mp3", "ogg", "m4a", "opus"]
+FORMATS = ["mp3", "ogg", "m4a", "opus", "aiff"]
 
 
 def _sine(sr, dur, freq, amp=0.3):
