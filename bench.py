@@ -49,8 +49,16 @@ CPU_CACHED_BASELINE_AUDIO_SEC_PER_SEC = 65.3
 # corpora (the NISQA Corpus is 14k files) and big enough to amortise the
 # per-pass RPC floor. NISQA_BENCH_FILES overrides (96 = the round-1 corpus).
 N_FILES = int(os.environ.get("NISQA_BENCH_FILES") or 384)
-CORPUS_DIR = ("/tmp/nisqa_bench_corpus_v2" if N_FILES == 96
-              else f"/tmp/nisqa_bench_corpus_v2_{N_FILES}")
+
+
+def corpus_dir(n_files):
+    """Canonical bench-corpus location — shared with tools/bench_train.py
+    so both benches measure the SAME corpus for a given size."""
+    return ("/tmp/nisqa_bench_corpus_v2" if n_files == 96
+            else f"/tmp/nisqa_bench_corpus_v2_{n_files}")
+
+
+CORPUS_DIR = corpus_dir(N_FILES)
 
 
 def make_corpus(out_dir, n_files=N_FILES, seed=0):

@@ -208,9 +208,21 @@ extern "C" int codec_decode(const char* path, float** out_buf,
             }
         }
         while ((rc = avcodec_receive_frame(ctx, frame)) >= 0) {
+            const int f_ch = frame->ch_layout.nb_channels;
+            const int f_sr = frame->sample_rate ? frame->sample_rate : ctx->sample_rate;
             if (n_ch == 0) {
-                n_ch = frame->ch_layout.nb_channels;
-                sr = frame->sample_rate ? frame->sample_rate : ctx->sample_rate;
+                n_ch = f_ch;
+                sr = f_sr;
+            } else if (f_ch != n_ch || f_sr != sr) {
+                // chained/reconfigured streams: appending with a stale
+                // stride would scramble (or over-read) every later frame —
+                // fail loudly instead
+                set_err(err, errlen,
+                        "stream changes format mid-file (" +
+                            std::to_string(n_ch) + "ch@" + std::to_string(sr) +
+                            " -> " + std::to_string(f_ch) + "ch@" +
+                            std::to_string(f_sr) + ")");
+                return 12;
             }
             if (!append_frame_f32(frame, n_ch, pcm)) {
                 set_err(err, errlen,
@@ -339,6 +351,10 @@ extern "C" int codec_encode(const char* path, const float* pcm,
         return 2;
     }
     AVCodecContext* ctx = avcodec_alloc_context3(enc);
+    if (!ctx) {
+        set_err(err, errlen, "alloc codec context failed");
+        return 14;
+    }
     struct CtxGuard {
         AVCodecContext** c;
         ~CtxGuard() { avcodec_free_context(c); }

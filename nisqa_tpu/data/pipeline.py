@@ -65,6 +65,19 @@ class MsConfig:
             b = math.ceil(b * 1.25)
         return sorted(out)
 
+    def bucket_for(self, n_wins: int) -> int:
+        """Smallest grid bucket holding ``n_wins`` segments — the single
+        bucket-selection used by serving and training. Over-long files get
+        the reference's actionable max-length error
+        (`/root/reference/nisqa/NISQA_lib.py:2274-2280`)."""
+        for b in self.buckets():
+            if n_wins <= b:
+                return b
+        raise ValueError(
+            f"n_wins {n_wins} > max_length {self.max_segments}. "
+            "Increase max window length ms_max_segments!"
+        )
+
     def frames_for_bucket(self, t_bucket: int) -> int:
         return (t_bucket - 1) * self.seg_hop + self.seg_length
 
@@ -509,13 +522,7 @@ class InferenceEngine:
     # -- host side -----------------------------------------------------------
 
     def _bucket_for(self, n_wins: int) -> int:
-        for b in self.ms.buckets():
-            if n_wins <= b:
-                return b
-        raise ValueError(
-            f"n_wins {n_wins} > max_length {self.ms.max_segments}. "
-            "Increase max window length ms_max_segments!"
-        )
+        return self.ms.bucket_for(n_wins)
 
     def _load_audio(self, path):
         y, sr = wavio.read_wav(path, channel=self.ms.channel)
@@ -699,23 +706,8 @@ class InferenceEngine:
         def block_bytes(bucket):
             return blocks_per * (bs * ms.frames_for_bucket(bucket) * M * 4 + bs * 4)
 
-        cap = self._cap_bytes()
-        est_cached = sum(block_bytes(b) for (_, b, _), _ in plan)
-        res_items, _, _ = _resident_split(
-            plan, lambda e: block_bytes(e[0][1]), cap)
-        resident_keys = {gkey for gkey, _ in res_items}
-        if self.cache_mb <= 0 or not resident_keys:
-            pass
-        elif est_cached > cap:
-            if self._use_fused(plan):
-                # fuse_pass=True engines store only all-or-nothing 'fused'
-                # entries (rejected over-cap) — they never dispatch the
-                # partial regime's seg+model executables; warming them here
-                # would be pure wasted (slow remote) compiles
-                resident_keys = set()
-            # PARTIAL regime: cached passes dispatch per-batch seg+model for
-            # the resident subset (never mel_fused) — warm those pipelines
-            for sr, bucket, kind in sorted(resident_keys):
+        def warm_seg_pipelines(keys):
+            for sr, bucket, kind in sorted(keys):
                 run = self._seg_pipeline(sr, bucket)
                 db = np.zeros((bs, ms.frames_for_bucket(bucket), M), np.float32)
                 n = np.full((bs,), full_n(sr, bucket), np.int32)
@@ -724,6 +716,22 @@ class InferenceEngine:
                     n = jax.device_put(n, self._data_sharding)
                 args = (db, n) * (2 if de else 1)
                 run(self.params, self.state, *args).block_until_ready()
+
+        cap = self._cap_bytes()
+        est_cached = sum(block_bytes(b) for (_, b, _), _ in plan)
+        res_items, _, _ = _resident_split(
+            plan, lambda e: block_bytes(e[0][1]), cap)
+        resident_keys = {gkey for gkey, _ in res_items}
+        if self.cache_mb <= 0 or not resident_keys:
+            pass
+        elif est_cached > cap:
+            # PARTIAL regime: cached passes dispatch per-batch seg+model for
+            # the resident subset (never mel_fused) — warm those pipelines.
+            # Except fuse_pass=True engines: they store only all-or-nothing
+            # 'fused' entries (rejected over-cap) and never dispatch the
+            # partial regime, so warming would be pure wasted remote compiles.
+            if not self._use_fused(plan):
+                warm_seg_pipelines(resident_keys)
         elif self._auto_fuse(plan):
             # pre-compile + pre-load the fused cached-pass executable (the
             # AUTO cache-hit upgrade target: a cold compile on the first
@@ -748,15 +756,7 @@ class InferenceEngine:
         elif not self._use_fused(plan):
             # mesh / fuse_pass=False / single-batch plans: cached passes
             # dispatch the per-batch segment+model program — warm it
-            for sr, bucket, kind in sorted({gkey for gkey, _ in plan}):
-                run = self._seg_pipeline(sr, bucket)
-                db = np.zeros((bs, ms.frames_for_bucket(bucket), M), np.float32)
-                n = np.full((bs,), full_n(sr, bucket), np.int32)
-                if self._data_sharding is not None:
-                    db = jax.device_put(db, self._data_sharding)
-                    n = jax.device_put(n, self._data_sharding)
-                args = (db, n) * (2 if de else 1)
-                run(self.params, self.state, *args).block_until_ready()
+            warm_seg_pipelines({gkey for gkey, _ in plan})
 
         if prime_fetch:
             np.asarray(jnp.zeros((1,), jnp.float32))

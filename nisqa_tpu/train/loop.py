@@ -343,14 +343,9 @@ class TrainEngine:
             n_wins_all = [ms.n_wins(ms.n_frames(_n_of(entries[i]), sr)) for i in gidx]
             if de:
                 n_wins_all += [ms.n_wins(ms.n_frames(_n_of(entries_ref[i]), sr)) for i in gidx]
-            max_nw = max(n_wins_all)
-            if max_nw > ms.max_segments:
-                # same guidance as the serving engine / reference
-                # segment_specs (NISQA_lib.py:2205-2207)
-                raise ValueError(
-                    f"n_wins {max_nw} > max_length {ms.max_segments}. "
-                    "Increase max window length ms_max_segments!")
-            bucket = next(b for b in ms.buckets() if max_nw <= b)
+            # bucket_for raises the reference's actionable max-length error
+            # (NISQA_lib.py:2205-2207) on over-long files
+            bucket = ms.bucket_for(max(n_wins_all))
             kind = ("i16" if not de and all(entries[i][0] == "native" for i in gidx)
                     else "f32")
             # pad the corpus row count to a 64 granularity: the gather
@@ -627,7 +622,7 @@ class TrainEngine:
             max_nw = max(n_wins_of(_n_of(entries[i])) for i in idx)
             if de:
                 max_nw = max(max_nw, max(n_wins_of(_n_of(entries_ref[i])) for i in idx))
-            bucket = next(b for b in ms.buckets() if max_nw <= b)
+            bucket = ms.bucket_for(max_nw)
             step_fn, buf_len = self._step(K, sr, bucket, kind, de)
 
             filled = fill_i16(paths) if kind == "i16" else None

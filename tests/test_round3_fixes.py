@@ -145,3 +145,48 @@ def test_profile_dir_captures_trace(tmp_path):
     }
     NisqaTPU(targs).train()
     assert trace_files(prof_tr), "train under profile_dir wrote no trace"
+
+
+def test_too_long_file_raises_actionable_error_on_every_path(tmp_path):
+    """Over-max-length files raise the reference's actionable
+    ms_max_segments error (`NISQA_lib.py:2274-2280`) from BOTH training
+    paths (host-fill and device-resident) and from serving — previously the
+    host-fill path died with a bare StopIteration from bucket selection."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from nisqa_tpu.audio.wav import write_wav
+    from nisqa_tpu.data.pipeline import MsConfig
+    from tests.test_e2e import TINY_ARGS
+
+    # TINY_ARGS: max_segments=64, seg 7/hop 2, 10 ms frames -> a 2 s clip at
+    # 8 kHz has ~98 windows, over the cap
+    sr = 8000
+    t = np.arange(2 * sr) / sr
+    write_wav(str(tmp_path / "long.wav"), (0.3 * np.sin(2 * np.pi * 200 * t)).astype(np.float32), sr)
+
+    ms = MsConfig(TINY_ARGS)
+    with pytest.raises(ValueError, match="ms_max_segments"):
+        ms.bucket_for(98)
+
+    df = pd.DataFrame({"filename": ["long.wav"] * 4, "db": ["T", "T", "T", "V"],
+                       "mos": [3.0, 3.5, 4.0, 3.2]})
+    df.to_csv(tmp_path / "c.csv", index=False)
+    base = {
+        **TINY_ARGS, "mode": "main", "pretrained_model": False,
+        "data_dir": str(tmp_path), "output_dir": str(tmp_path / "out"),
+        "csv_file": "c.csv", "csv_deg": "filename",
+        "csv_mos_train": "mos", "csv_mos_val": "mos",
+        "csv_db_train": ["T"], "csv_db_val": ["V"], "csv_con": None,
+        "tr_epochs": 1, "tr_early_stop": 50, "tr_bs": 2, "tr_bs_val": 2,
+        "tr_lr": 1e-3, "tr_lr_patience": 15, "tr_num_workers": 0,
+        "tr_parallel": False, "tr_checkpoint": "best_only", "tr_verbose": 0,
+        "tr_bias_mapping": None, "tr_bias_min_r": None,
+        "tr_bias_anchor_db": None, "seed": 0,
+    }
+    from nisqa_tpu.model import NisqaTPU
+
+    for to_mem in (False, True):
+        with pytest.raises(ValueError, match="ms_max_segments"):
+            NisqaTPU({**base, "tr_ds_to_memory": to_mem}).train()

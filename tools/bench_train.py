@@ -30,12 +30,7 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import make_corpus  # noqa: E402
-
-
-def _corpus_dir(n_files):
-    return ("/tmp/nisqa_bench_corpus_v2" if n_files == 96
-            else f"/tmp/nisqa_bench_corpus_v2_{n_files}")
+from bench import corpus_dir as _corpus_dir, make_corpus  # noqa: E402
 
 
 def _learnable_mos(paths):
