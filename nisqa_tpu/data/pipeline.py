@@ -959,10 +959,24 @@ class InferenceEngine:
             as its host fill completes, overlapping decode with device work.
         All regimes produce identical outputs. ``fetch=False`` blocks on
         completion and returns None (see :meth:`warmup`).
+
+        ``fetch="async"`` returns a zero-arg handle; calling it yields the
+        (N, out_dim) result. On a fully-cached pass the device->host
+        readback is deferred into the handle, so a serving loop can
+        dispatch the NEXT pass before paying this pass's fetch RPC — the
+        readback then overlaps device execution and steady-state throughput
+        approaches the fetch-free device rate (BASELINE.md round 3).
+        Non-cached regimes resolve eagerly inside this call (their pooled
+        host fill buffers must not outlive the pass, and on relay-attached
+        TPUs a readback concurrent with uploads degrades the link —
+        docs/RELAY_NOTES.md) and the handle just hands the result back.
         """
         N = len(paths)
         if N == 0:
-            return np.zeros((0, 5 if self.model.dim else 1), np.float32) if fetch else None
+            empty = np.zeros((0, 5 if self.model.dim else 1), np.float32)
+            if fetch == "async":
+                return lambda: empty
+            return empty if fetch else None
         de = self.model.double_ended
         bs = self.batch_size
         t0 = time.perf_counter()
@@ -985,12 +999,15 @@ class InferenceEngine:
             elif hit.get("cold"):
                 # PARTIAL hit (corpus bigger than cache_mb): resident
                 # batches dispatch from their cached mel blocks; only the
-                # cold-tail files are re-scanned, re-decoded and re-uploaded
-                out = self._partial_cached_pass(hit, paths, paths_ref, N,
-                                                fetch, timings)
+                # cold-tail files are re-scanned, re-decoded and re-uploaded.
+                # The cold tail reuses pooled host buffers, so "async"
+                # resolves eagerly (see docstring).
+                out = self._partial_cached_pass(
+                    hit, paths, paths_ref, N,
+                    True if fetch == "async" else fetch, timings)
                 self._note_pass("cached_partial", N, len(hit["plan"]), t0,
                                 t0, time.perf_counter(), timings)
-                return out
+                return (lambda: out) if fetch == "async" else out
             elif self._auto_fuse(hit["plan"]):
                 # AUTO fuse: upgrade once to one executable for the whole
                 # cached pass over the resident MEL blocks — one execute RPC
@@ -1043,9 +1060,10 @@ class InferenceEngine:
                     "bytes": flat_in.nbytes + ns_in.nbytes,
                 })
             all_dev = jitted(self.params, self.state, consts_tuple, flat_in, ns_in)
-            out = self._collect_fused(all_dev, plan, N, fetch)
+            out = self._collect_fused(all_dev, plan, N,
+                                      True if fetch == "async" else fetch)
             self._note_pass("fused", N, len(plan), t0, t_plan, time.perf_counter())
-            return out
+            return (lambda: out) if fetch == "async" else out
 
         # Pipelined cold pass: a background filler thread decodes batch j+1
         # while the main thread transfers/dispatches batch j. The C++ fill
@@ -1115,10 +1133,13 @@ class InferenceEngine:
                     "cold": cold_tail, "bytes": used,
                 })
         timings.update(wait_s=wait_s, dispatch_s=dispatch_s)
-        out = self._collect(pending, N, fetch, timings=timings)
+        # "async" resolves eagerly here: the interleaved pass fills pooled
+        # host buffers that must not be reused while transfers are in flight
+        out = self._collect(pending, N, True if fetch == "async" else fetch,
+                            timings=timings)
         self._note_pass("interleaved", N, len(plan), t0, t_plan,
                         time.perf_counter(), timings)
-        return out
+        return (lambda: out) if fetch == "async" else out
 
     def _note_pass(self, mode, n_files, n_batches, t0, t_plan, t_end,
                    timings=None):
@@ -1157,8 +1178,25 @@ class InferenceEngine:
             ex = self._fill_ex = ThreadPoolExecutor(1)
         return ex
 
+    def _scatter(self, all_y, pending, N):
+        out = np.zeros((N, all_y.shape[1]), dtype=np.float32)
+        row = 0
+        for chunk, y in pending:
+            out[np.asarray(chunk)] = all_y[row : row + len(chunk)]
+            row += y.shape[0]
+        return out
+
     def _collect(self, pending, N, fetch, timings=None):
         t0 = time.perf_counter()
+        if fetch == "async":
+            # defer block+readback into the returned handle: the device is
+            # already chewing on the dispatched work, so the caller can
+            # dispatch the NEXT pass before paying this pass's fetch RPC
+            if len(pending) > 1:
+                all_dev = jnp.concatenate([y for _, y in pending], axis=0)
+            else:
+                all_dev = pending[0][1]
+            return lambda: self._scatter(np.asarray(all_dev), pending, N)
         if not fetch:
             # concat on device and block ONCE: blocking each batch result is
             # one sync RPC apiece on relay-attached TPUs (measured 12 blocks
@@ -1183,31 +1221,31 @@ class InferenceEngine:
         if timings is not None:
             timings["block_s"] = round(t1 - t0, 4)
             timings["fetch_s"] = round(time.perf_counter() - t1, 4)
+        return self._scatter(all_y, pending, N)
+
+    def _scatter_fused(self, all_y, plan, N):
+        bs = self.batch_size
         out = np.zeros((N, all_y.shape[1]), dtype=np.float32)
-        row = 0
-        for chunk, y in pending:
-            out[np.asarray(chunk)] = all_y[row : row + len(chunk)]
-            row += y.shape[0]
+        for j, (_, chunk) in enumerate(plan):
+            out[np.asarray(chunk)] = all_y[j * bs : j * bs + len(chunk)]
         return out
 
     def _collect_fused(self, all_dev, plan, N, fetch, timings=None):
         t0 = time.perf_counter()
+        if fetch == "async":
+            return lambda: self._scatter_fused(np.asarray(all_dev), plan, N)
         if not fetch:
             all_dev.block_until_ready()
             if timings is not None:
                 timings["block_s"] = round(time.perf_counter() - t0, 4)
             return None
-        bs = self.batch_size
         all_dev.block_until_ready()
         t1 = time.perf_counter()
         all_y = np.asarray(all_dev)
         if timings is not None:
             timings["block_s"] = round(t1 - t0, 4)
             timings["fetch_s"] = round(time.perf_counter() - t1, 4)
-        out = np.zeros((N, all_y.shape[1]), dtype=np.float32)
-        for j, (_, chunk) in enumerate(plan):
-            out[np.asarray(chunk)] = all_y[j * bs : j * bs + len(chunk)]
-        return out
+        return self._scatter_fused(all_y, plan, N)
 
     def _fused_parts(self, plan_keys):
         """One jit for a whole pass: every (sr, bucket, kind) batch in

@@ -359,3 +359,57 @@ def test_warmup_skips_cached_pass_compiles_when_cache_cannot_fit(tmp_path):
     eng = _engine(tmp_path, batch_size=2, cache_mb=256)
     eng.warmup(paths)
     assert cached_keys(eng), "default cache must still warm the cached pass"
+
+
+def test_async_fetch_matches_sync_all_regimes(tmp_path):
+    """fetch="async" returns a handle; resolving after dispatching the next
+    pass yields results identical to sync fetch, in every regime (cold
+    interleaved eager, cached deferred, fused eager, empty corpus)."""
+    names = _write_corpus(tmp_path, n=5)
+    paths = [str(tmp_path / n) for n in names]
+
+    eng = _engine(tmp_path, batch_size=2, cache_mb=256)
+    h_cold = eng.predict_paths(paths, fetch="async")  # cold pass: eager
+    y_cold = h_cold()
+    # cached passes: readback deferred — dispatch BOTH before resolving
+    h1 = eng.predict_paths(paths, fetch="async")
+    h2 = eng.predict_paths(paths, fetch="async")
+    y1, y2 = h1(), h2()
+    y_sync = eng.predict_paths(paths)
+    np.testing.assert_array_equal(y_cold, y_sync)
+    np.testing.assert_array_equal(y1, y_sync)
+    np.testing.assert_array_equal(y2, y_sync)
+    assert eng.stats["passes"] == 4 and eng.stats["cache_hits"] == 3
+
+    e_fused = _engine(tmp_path, batch_size=2, cache_mb=256, fuse_pass=True)
+    hf = e_fused.predict_paths(paths, fetch="async")
+    np.testing.assert_array_equal(hf(), y_sync)
+    hf2 = e_fused.predict_paths(paths, fetch="async")  # cached 'fused' hit
+    np.testing.assert_array_equal(hf2(), y_sync)
+
+    h_empty = eng.predict_paths([], fetch="async")
+    assert h_empty().shape[0] == 0
+
+
+def test_async_fetch_partial_cache_resolves_eagerly(tmp_path):
+    """A partial-cache pass (cold tail reuses pooled host buffers) must
+    resolve inside the call; the handle still returns the right result."""
+    from nisqa_tpu.audio.wav import write_wav
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(4):
+        sr = 8000
+        t = np.arange(int(sr * (0.5 + 0.2 * i))) / sr
+        y = 0.3 * np.sin(2 * np.pi * (200 + 40 * i) * t)
+        p = str(tmp_path / f"p{i}.wav")
+        write_wav(p, y.astype(np.float32), sr)
+        paths.append(p)
+    eng = _engine(tmp_path, batch_size=2, cache_mb=0.02)  # tiny cap
+    y_sync = eng.predict_paths(paths)
+    if eng.stats["last"]["mode"] == "interleaved":
+        y_sync = eng.predict_paths(paths)
+    assert eng.stats["last"]["mode"] == "cached_partial"
+    h = eng.predict_paths(paths, fetch="async")
+    assert eng.stats["last"]["mode"] == "cached_partial"
+    np.testing.assert_array_equal(h(), y_sync)
