@@ -164,3 +164,40 @@ def test_predict_dir_picks_up_codec_files(tmp_path):
     }).predict()
     assert set(df.deg) == set(names) | {"extra.mp3"}
     assert np.isfinite(df.mos_pred.to_numpy()).all()
+
+
+@needs_codec
+def test_engine_resamples_codec_input(tmp_path):
+    """ms_sr set: compressed files decode in Python and resample to ms_sr —
+    the reference's `lb.load(path, sr=ms_sr)` behavior for such inputs
+    (`NISQA_lib.py:2298-2304`)."""
+    from nisqa_tpu.compat.torch_ckpt import load_model_from_tar
+    from nisqa_tpu.data.pipeline import InferenceEngine, MsConfig
+
+    p = str(tmp_path / "hi.ogg")
+    codec.encode(p, _sine(16000, 0.8, 300.0), 16000, bitrate=24000)
+    ckpt = _make_ckpt(tmp_path)
+    model, params, state, args = load_model_from_tar(ckpt)
+    eng = InferenceEngine(model, params, state,
+                          MsConfig({**args, "ms_sr": 8000}),
+                          batch_size=2, num_workers=1)
+    y = eng.predict_paths([p])
+    assert y.shape[0] == 1 and np.isfinite(y).all()
+
+
+@needs_codec
+def test_truncated_compressed_file_decodes_or_errors_cleanly(tmp_path):
+    """A file cut mid-stream either decodes the intact prefix or raises the
+    actionable WavFormatError — never crashes or returns garbage lengths."""
+    p = str(tmp_path / "t.mp3")
+    codec.encode(p, _sine(48000, 2.0, 330.0), 48000)
+    blob = open(p, "rb").read()
+    pt = str(tmp_path / "trunc.mp3")
+    with open(pt, "wb") as f:
+        f.write(blob[: len(blob) // 3])
+    try:
+        y, sr = read_wav(pt)
+        assert sr == 48000 and 0 < len(y) < 2 * 48000
+        assert np.isfinite(y).all()
+    except WavFormatError as e:
+        assert "trunc.mp3" in str(e)
