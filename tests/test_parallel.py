@@ -124,3 +124,32 @@ def test_finetune_warm_start(tmp_path):
     # architecture hyperparams came from the checkpoint, not defaults
     assert runner.model_args["td_sa_d_model"] == TINY_ARGS["td_sa_d_model"]
     runner.train()
+
+
+def test_async_fetch_under_mesh_matches_single(tmp_path):
+    """fetch="async" on a mesh-sharded engine: deferred handles resolve to
+    the same outputs as an unsharded sync pass (gather of the sharded
+    result happens inside the handle)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from nisqa_tpu.compat.torch_ckpt import load_model_from_tar
+    from nisqa_tpu.data.pipeline import InferenceEngine, MsConfig
+    from nisqa_tpu.parallel.mesh import make_mesh
+
+    names = _write_corpus(tmp_path, n=8)
+    paths = [str(tmp_path / n) for n in names]
+    ckpt = _make_ckpt(tmp_path)
+    model, params, state, args = load_model_from_tar(ckpt)
+    y_ref = InferenceEngine(model, params, state, MsConfig(args),
+                            batch_size=8, num_workers=0).predict_paths(paths)
+    eng = InferenceEngine(model, params, state, MsConfig(args),
+                          batch_size=8, num_workers=0, mesh=make_mesh())
+    h_cold = eng.predict_paths(paths, fetch="async")
+    y_cold = h_cold()
+    h1 = eng.predict_paths(paths, fetch="async")
+    h2 = eng.predict_paths(paths, fetch="async")  # dispatch before resolve
+    np.testing.assert_allclose(y_cold, y_ref, atol=1e-5)
+    np.testing.assert_allclose(h1(), y_ref, atol=1e-5)
+    np.testing.assert_allclose(h2(), y_ref, atol=1e-5)
