@@ -201,3 +201,49 @@ def test_truncated_compressed_file_decodes_or_errors_cleanly(tmp_path):
         assert np.isfinite(y).all()
     except WavFormatError as e:
         assert "trunc.mp3" in str(e)
+
+
+@needs_codec
+def test_training_over_corpus_with_codec_files(tmp_path):
+    """A training CSV may reference compressed files (the reference trains
+    on whatever librosa loads). Both the host-fill and device-resident
+    corpus paths must handle them."""
+    import pandas as pd
+
+    from nisqa_tpu.model import NisqaTPU
+
+    sr = 8000
+    rng = np.random.default_rng(9)
+    names = []
+    for i in range(6):
+        t = np.arange(int(sr * (0.5 + 0.15 * i))) / sr
+        x = (0.35 * np.sin(2 * np.pi * (220 + 30 * i) * t)
+             + 0.04 * rng.standard_normal(len(t))).astype(np.float32)
+        if i == 2:
+            name = f"c{i}.mp3"
+            codec.encode(str(tmp_path / name), x, sr, bitrate=48000)
+        elif i == 4:
+            name = f"c{i}.ogg"
+            codec.encode(str(tmp_path / name), x, sr, bitrate=24000)
+        else:
+            name = f"c{i}.wav"
+            write_wav(str(tmp_path / name), x, sr)
+        names.append(name)
+    df = pd.DataFrame({"filename": names, "db": ["T"] * 4 + ["V"] * 2,
+                       "mos": rng.uniform(1, 5, 6).round(2)})
+    df.to_csv(tmp_path / "c.csv", index=False)
+    base = {
+        **TINY_ARGS, "mode": "main", "pretrained_model": False,
+        "data_dir": str(tmp_path), "output_dir": str(tmp_path / "out"),
+        "csv_file": "c.csv", "csv_deg": "filename",
+        "csv_mos_train": "mos", "csv_mos_val": "mos",
+        "csv_db_train": ["T"], "csv_db_val": ["V"], "csv_con": None,
+        "tr_epochs": 1, "tr_early_stop": 50, "tr_bs": 3, "tr_bs_val": 2,
+        "tr_lr": 1e-3, "tr_lr_patience": 15, "tr_num_workers": 0,
+        "tr_parallel": False, "tr_checkpoint": "best_only", "tr_verbose": 0,
+        "tr_bias_mapping": None, "tr_bias_min_r": None,
+        "tr_bias_anchor_db": None, "seed": 0,
+    }
+    for to_mem in (False, True):
+        NisqaTPU({**base, "tr_ds_to_memory": to_mem,
+                  "name": f"mix{to_mem}"}).train()
