@@ -169,8 +169,41 @@ def _run(warm_only=False):
     return total_audio_sec, min(runs)
 
 
+def _wait_for_backend(budget_s):
+    """The shared TPU pool goes fully unavailable for stretches (backend
+    init then HANGS rather than erroring). Probe it in bounded throwaway
+    subprocesses so this process neither hangs nor taints its own backend;
+    give up after ``budget_s`` with a clear error instead of hanging the
+    caller forever."""
+    import subprocess
+
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, text=True, timeout=240,
+            )
+            if probe.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print(f"error: TPU backend unavailable after {attempt} probes "
+                  f"over {budget_s} s; not starting the measurement.",
+                  file=sys.stderr)
+            sys.exit(3)
+        print(f"TPU backend unavailable (probe {attempt}); retrying...",
+              file=sys.stderr)
+        time.sleep(min(120, max(1, deadline - time.time())))
+
+
 def main():
     import subprocess
+
+    _wait_for_backend(int(os.environ.get("NISQA_BENCH_WAIT_S") or 1800))
 
     # Cold-cache XLA compiles go through the relay's remote-compile channel,
     # which leaves that process's host link degraded (docs/RELAY_NOTES.md).
@@ -179,14 +212,20 @@ def main():
     # failure (e.g. the shared TPU pool dropping out mid-compile) is
     # reported but NOT fatal: the measuring run below retries the compiles
     # itself — a degraded-link number beats no number.
-    prime = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--warm-cache-only"],
-        capture_output=True, text=True,
-    )
-    if prime.returncode != 0:
+    try:
+        prime = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--warm-cache-only"],
+            capture_output=True, text=True,
+            timeout=int(os.environ.get("NISQA_BENCH_PRIME_TIMEOUT_S") or 5400),
+        )
+        rc, err = prime.returncode, prime.stderr
+    except subprocess.TimeoutExpired as e:
+        rc, err = -1, (e.stderr.decode(errors="replace")[-2000:]
+                       if e.stderr else "priming timed out")
+    if rc != 0:
         print("warning: cache-priming subprocess failed "
-              f"(exit {prime.returncode}); measuring anyway.\n"
-              f"{prime.stderr[-2000:]}", file=sys.stderr)
+              f"(exit {rc}); measuring anyway.\n"
+              f"{(err or '')[-2000:]}", file=sys.stderr)
 
     total_audio_sec, wall = _run()
     value = total_audio_sec / wall
