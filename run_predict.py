@@ -2,6 +2,9 @@
 (`/root/reference/run_predict.py:8-43`): predict_file / predict_dir /
 predict_csv with a pretrained checkpoint (.tar, reference format).
 
+Inputs: WAV and FLAC always; mp3/ogg/m4a/opus/... when the host has the
+FFmpeg libraries (see README "Input formats").
+
 Examples:
   python run_predict.py --mode predict_file --pretrained_model weights/nisqa.tar --deg /path/to/wav --output_dir out/
   python run_predict.py --mode predict_dir  --pretrained_model weights/nisqa.tar --data_dir /folder/with/wavs --output_dir out/
