@@ -25,11 +25,17 @@ NISQA_BENCH_NOCACHE=1 (disable the corpus cache; every pass cold),
 NISQA_BENCH_DEVRATE=1 (fetch-free cached passes: block_until_ready but no
 device->host readback — isolates the DEVICE-side rate from the relay's
 ~163 ms end-of-pass fetch; the number direct-attached hardware would see),
-NISQA_BENCH_ASYNC=1 (pipelined serving steady state: cached passes dispatch
-with fetch="async" and resolve AFTER the next pass is dispatched, so the
-readback RPC overlaps device execution — what a streaming serving loop
-sees; reported as wall/pass over blocks of 4 overlapped passes),
+NISQA_BENCH_ASYNC=1 (measure ONLY the pipelined steady state; see below),
 NISQA_BENCH_STAGES=1 (print each pass's per-stage breakdown to stderr).
+
+The DEFAULT run measures two regimes over the same engine/corpus and
+reports the pipelined serving steady state as the headline value: cached
+passes dispatched with fetch="async" in blocks of 4, every handle resolved
+and every output validated, so each pass's device->host readback RPC rides
+behind the next passes' device execution — the rate a streaming serving
+loop sustains. The plain per-pass rate (best of 7 synchronous fetched
+passes — round 1/2's headline definition) ships alongside as
+"fetched_best_pass" for cross-round comparability.
 """
 
 import json
@@ -134,22 +140,28 @@ def _run(warm_only=False):
     # resident corpus cache — the serving steady state.
     devrate = bool(os.environ.get("NISQA_BENCH_DEVRATE"))
     stages = bool(os.environ.get("NISQA_BENCH_STAGES"))
-    if os.environ.get("NISQA_BENCH_ASYNC"):
-        # pipelined steady state: pass 1 cold (fetched; populates the
-        # device-resident cache), then blocks of 4 overlapped cached passes
-        # — all dispatched before any handle is resolved, so each pass's
-        # readback RPC rides behind the next passes' device execution
-        y = engine.predict_paths(paths)
-        assert np.isfinite(y).all()
+
+    def async_blocks(n_blocks=3):
+        # pipelined steady state: blocks of 4 overlapped CACHED passes —
+        # all dispatched before any handle is resolved, so each pass's
+        # readback RPC rides behind the next passes' device execution.
+        # Every handle is resolved and every output validated.
         walls = []
-        for _ in range(3):
+        for _ in range(n_blocks):
             tic = time.time()
             handles = [engine.predict_paths(paths, fetch="async")
                        for _ in range(4)]
             ys = [h() for h in handles]
             walls.append((time.time() - tic) / 4)
         assert all(np.isfinite(yy).all() for yy in ys)
-        return total_audio_sec, min(walls)
+        return min(walls)
+
+    if os.environ.get("NISQA_BENCH_ASYNC"):
+        # A/B mode: ONLY the pipelined steady state (pass 1 cold fetched to
+        # populate the device-resident cache)
+        y = engine.predict_paths(paths)
+        assert np.isfinite(y).all()
+        return total_audio_sec, {"async": async_blocks()}
     runs, y = [], None
     for i in range(7):
         # devrate mode: pass 1 populates the device cache (fetched as usual);
@@ -165,8 +177,12 @@ def _run(warm_only=False):
             print(f"pass {i}: {engine.stats['last']}", file=sys.stderr)
     assert np.isfinite(y).all()
     if devrate:
-        runs = runs[1:]
-    return total_audio_sec, min(runs)
+        return total_audio_sec, {"devrate": min(runs[1:])}
+    walls = {"fetched": min(runs)}
+    # default run: also measure the pipelined serving steady state over the
+    # now-resident corpus — the headline regime (module docstring)
+    walls["async"] = async_blocks()
+    return total_audio_sec, walls
 
 
 def _wait_for_backend(budget_s):
@@ -227,26 +243,30 @@ def main():
               f"(exit {rc}); measuring anyway.\n"
               f"{(err or '')[-2000:]}", file=sys.stderr)
 
-    total_audio_sec, wall = _run()
-    value = total_audio_sec / wall
+    total_audio_sec, walls = _run()
 
     metric = "predict_dir_throughput_nisqa_dim_bs32"
-    if os.environ.get("NISQA_BENCH_DEVRATE"):
+    if "devrate" in walls:
         metric += "_devrate_nofetch"
-    if os.environ.get("NISQA_BENCH_ASYNC"):
+        value = total_audio_sec / walls["devrate"]
+    elif "async" in walls:
+        # headline: the pipelined serving steady state (module docstring)
         metric += "_async_pipelined"
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 2),
-                "unit": "audio-sec/sec/chip",
-                "vs_baseline": round(value / CPU_BASELINE_AUDIO_SEC_PER_SEC, 2),
-                # reference with RAM-cached mels (see BASELINE.md round 3)
-                "vs_cached_cpu": round(value / CPU_CACHED_BASELINE_AUDIO_SEC_PER_SEC, 2),
-            }
-        )
-    )
+        value = total_audio_sec / walls["async"]
+    else:
+        value = total_audio_sec / walls["fetched"]
+    record = {
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(value / CPU_BASELINE_AUDIO_SEC_PER_SEC, 2),
+        # reference with RAM-cached mels (see BASELINE.md round 3)
+        "vs_cached_cpu": round(value / CPU_CACHED_BASELINE_AUDIO_SEC_PER_SEC, 2),
+    }
+    if "fetched" in walls and "async" in walls:
+        # rounds 1/2's headline definition, for cross-round comparability
+        record["fetched_best_pass"] = round(total_audio_sec / walls["fetched"], 2)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
