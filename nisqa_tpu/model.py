@@ -309,11 +309,12 @@ class NisqaTPU:
             db_res, r = self._eval_one(t, f"{t}_pred", mapping, do_print, do_plot)
             setattr(self, f"db_results_val_{t}", db_res)
             self.r.update({(k if t == "mos" else f"{k}_{t}"): v for k, v in r.items()})
-        if self.ds_val.df_con is not None:
-            r_mean = np.mean(
-                [self.r["r_p_mean_con"]] + [self.r[f"r_p_mean_con_{t}"] for t, _ in targets[1:]]
-            )
-            print(f"\nAverage over MOS and dimensions: r_p={r_mean:0.3f}")
+        # Printed unconditionally like the reference (NISQA_model.py:707-715):
+        # without a condition CSV the con averages are NaN and so is this line.
+        r_mean = np.mean(
+            [self.r["r_p_mean_con"]] + [self.r[f"r_p_mean_con_{t}"] for t, _ in targets[1:]]
+        )
+        print(f"\nAverage over MOS and dimensions: r_p={r_mean:0.3f}")
 
     # -- run artifacts ---------------------------------------------------------
 
