@@ -376,7 +376,7 @@ def lstm_layer(p, x, n_wins, reverse=False):
     if reverse:
         xs = xs[::-1]
         t_idx = t_idx[::-1]
-    valid = (t_idx[:, None] < n_wins[None, :]).astype(jnp.float32)  # (T, B)
+    valid = (t_idx[:, None] < n_wins[None, :]).astype(x.dtype)  # (T, B)
 
     def step(carry, inp):
         h, c = carry
@@ -394,7 +394,8 @@ def lstm_layer(p, x, n_wins, reverse=False):
         c = vb * c_new + (1 - vb) * c
         return (h, c), h_new * vb  # outputs at pad steps are zero
 
-    init = (jnp.zeros((B, h_dim), jnp.float32), jnp.zeros((B, h_dim), jnp.float32))
+    # carry dtype follows the input (f64 under the x64 parity tests)
+    init = (jnp.zeros((B, h_dim), x.dtype), jnp.zeros((B, h_dim), x.dtype))
     _, ys = lax.scan(step, init, (xs, valid))
     if reverse:
         ys = ys[::-1]

@@ -3,13 +3,25 @@ the same loss, gradients, and Adam-updated parameters as the PyTorch
 reference, to near machine precision.
 
 This is the strongest training-correctness check available: it validates the
-backward pass through the masked dense CNN/BN, self-attention, pooling, the
-NaN-masked MSE, and the Adam update end to end. float64 removes f32
-summation-order noise (the multi-million-term conv-weight reductions differ
-by ~3e-3 rel between XLA-CPU and torch in f32 while agreeing to ~1e-15 in
-f64 — verified during development), so tolerances here are tight.
+backward pass end to end. float64 removes f32 summation-order noise (the
+multi-million-term conv-weight reductions differ by ~3e-3 rel between
+XLA-CPU and torch in f32 while agreeing to ~1e-15 in f64 — verified during
+development), so tolerances here are tight.
 
-Runs in a subprocess because jax_enable_x64 is process-global.
+Three goldens, one per trainable architecture family (tools/make_train_goldens.py):
+  g_train_step.npz       AdaptCNN -> self-attention -> PoolAttFF
+                         (`/root/reference/nisqa/NISQA_lib.py:586-710,945-1040`)
+  g_train_step_lstm.npz  StandardCNN+fc20 -> biLSTM -> avg pooling — the
+                         CNN-LSTM-avg training config: LSTM backward through
+                         the masked lax.scan and StandardCNN train-mode
+                         masked BN after the padded max-pool
+                         (`NISQA_lib.py:712-836,897-943`)
+  g_train_step_de.npz    NISQA_DE cosine/hard + x/y/- fusion + SA td_2:
+                         Siamese shared-trunk serial BN update and the
+                         hard-attention argmax-gather gradient
+                         (`NISQA_lib.py:272-424,1359-1368`)
+
+Runs in subprocesses because jax_enable_x64 is process-global.
 """
 
 import os
@@ -18,13 +30,14 @@ import sys
 
 import pytest
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "g_train_step.npz")
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _SCRIPT = r"""
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+import json
 import numpy as np
 import jax.numpy as jnp
 import optax
@@ -41,16 +54,25 @@ sd1 = {k[5:]: z[k] for k in z.files if k.startswith("sd1::")}
 ref_grads = {k[3:]: z[k] for k in z.files if k.startswith("g::")}
 x, n_wins, y = z["x"].astype(np.float64), z["n_wins"], z["y"].astype(np.float64)
 
-margs = model_args_from_ckpt_args({"model": "NISQA"})
-for k in ("cnn_dropout", "td_sa_dropout", "pool_att_dropout"):
-    margs[k] = 0.0
-model = build_model("NISQA", margs)
+if "meta" in z.files:
+    meta = json.loads(str(z["meta"]))
+    name, margs = meta["model"], dict(meta["model_args"])
+else:  # the original AdaptCNN+SA golden predates the meta field
+    name = "NISQA"
+    margs = model_args_from_ckpt_args({"model": "NISQA"})
+for k in ("cnn_dropout", "td_sa_dropout", "td_2_sa_dropout", "pool_att_dropout"):
+    if k in margs:
+        margs[k] = 0.0
+model = build_model(name, margs)
 params, state = params_from_torch(sd0, model)
 to64 = lambda t: jax.tree_util.tree_map(lambda a: a.astype(jnp.float64), t)
 params, state = to64(params), to64(state)
 
+xb = x if model.double_ended else x[:, :, 0]
+nb = jnp.asarray(n_wins)
+
 def loss_fn(p):
-    y_hat, new_bn = model.apply(p, state, x[:, :, 0], n_wins, train=True, rng=None)
+    y_hat, new_bn = model.apply(p, state, xb, nb, train=True, rng=None)
     return nan_mse(y_hat[:, 0], jnp.asarray(y)[:, 0]), new_bn
 
 (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -59,7 +81,8 @@ assert abs(float(loss) - float(z["loss"])) < 1e-9, ("loss", float(loss), float(z
 our_grads = params_to_torch(model, grads, new_bn)
 for k, gv in ref_grads.items():
     d = float(np.max(np.abs(our_grads[k] - gv)))
-    assert d < 1e-9, (k, "grad diff", d)
+    tol = 1e-9 * max(1.0, float(np.max(np.abs(gv))))
+    assert d < tol, (k, "grad diff", d)
 
 # Adam first step (float64 torch Adam in the golden)
 opt = optax.scale_by_adam()
@@ -76,9 +99,15 @@ print("TRAIN_STEP_PARITY_OK")
 """
 
 
-@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="golden missing")
-def test_one_train_step_matches_reference():
-    code = _SCRIPT % {"repo": REPO, "golden": GOLDEN}
+@pytest.mark.parametrize(
+    "golden",
+    ["g_train_step.npz", "g_train_step_lstm.npz", "g_train_step_de.npz"],
+)
+def test_one_train_step_matches_reference(golden):
+    path = os.path.join(GOLDEN_DIR, golden)
+    if not os.path.exists(path):
+        pytest.skip("golden missing")
+    code = _SCRIPT % {"repo": REPO, "golden": path}
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env["NISQA_TPU_NO_CACHE"] = "1"
