@@ -16,9 +16,10 @@ eval-mode NISQA_DIM + numpy mel front-end standing in for librosa, best
 measured config: DataLoader workers=0 on this 1-core box) measured by
 tools/measure_baseline.py on the SAME corpus — see BASELINE.md.
 
-A/B env switches: NISQA_BENCH_FUSE=1 (every pass incl. cold in one flat-fed
-executable) / NISQA_BENCH_NOFUSE=1 (never fuse; default auto = cached
-passes run as one fused executable over the resident batch buffers),
+A/B env switches: NISQA_BENCH_NOFUSE=1 (never fuse; default = cached passes
+run as ONE fused executable over the resident mel blocks — NISQA_BENCH_FUSE
+is kept as an alias of the default since round 4 removed the legacy
+flat-audio fused regime),
 NISQA_BENCH_PALLAS=1 / NISQA_BENCH_NOPALLAS=1 (force the Pallas DFT->mel
 front-end on/off; default auto = on for TPU backends),
 NISQA_BENCH_NOCACHE=1 (disable the corpus cache; every pass cold),
@@ -114,9 +115,8 @@ def _run(warm_only=False):
     model, params, state, args = load_model_from_tar("/root/reference/weights/nisqa.tar")
     engine = InferenceEngine(
         model, params, state, MsConfig(args), batch_size=32, num_workers=8,
-        # tri-state: default None = AUTO (interleaved cold pass, cached
-        # passes upgrade to one fused executable); FUSE forces flat-fused
-        # everywhere, NOFUSE disables fusing entirely
+        # default None: interleaved cold pass, cached passes upgrade to one
+        # fused executable (FUSE is an alias); NOFUSE disables fusing
         fuse_pass=(True if os.environ.get("NISQA_BENCH_FUSE")
                    else False if os.environ.get("NISQA_BENCH_NOFUSE") else None),
         # default None = auto (Pallas front-end on TPU backends); A/B overrides
@@ -124,8 +124,13 @@ def _run(warm_only=False):
                     else True if os.environ.get("NISQA_BENCH_PALLAS") else None),
         # corpus residency must fit or every pass is cold: scale the cap
         # with the corpus (512 MB covers the default 96 files; ~6 MB/file
-        # of padded i16 at 3-30 s / 48 kHz)
+        # of padded i16 at 3-30 s / 48 kHz). NISQA_BENCH_CACHE_MB pins an
+        # explicit cap — used to measure the PARTIAL-cache regime (corpus
+        # bigger than the cap, the NISQA-Corpus-at-14k-files shape) at a
+        # controlled resident fraction.
         cache_mb=(0 if os.environ.get("NISQA_BENCH_NOCACHE")
+                  else float(os.environ["NISQA_BENCH_CACHE_MB"])
+                  if os.environ.get("NISQA_BENCH_CACHE_MB")
                   else max(512, N_FILES * 6)),
         # NISQA_BENCH_FE=exact|fast A/B override; default None = engine
         # auto ('fast' at default precision — parity bound in BASELINE.md)

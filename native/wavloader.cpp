@@ -93,16 +93,24 @@ int fill_row(const char* path, int16_t* row, int64_t buf_len, int64_t pad,
 
     WavData w = parse_wav(hdr, (int64_t)got);
     int64_t n = w.ok ? w.n_declared : 0;
-    if (!w.ok || n < pad + 2 || pad + n > buf_len) {
+    // Clamp the copy to the buffer: under seg_hop subsampling a file's last
+    // ceil-remainder frames extend past the bucket's STFT read span, so up
+    // to ~seg_hop*hop trailing samples are legitimately never read by any
+    // frame. Ship them truncated; n_out stays the TRUE sample count so the
+    // device-side n_frames/n_wins masks match the scan-time plan (the
+    // Python f32 fill has always clamped the same way).
+    int64_t w_n = n;
+    if (pad + w_n > buf_len) w_n = buf_len - pad;
+    if (!w.ok || n < pad + 2 || w_n < pad + 2) {
         fclose(f);
         return -1;
     }
     int64_t data_off = (const uint8_t*)w.samples - hdr;
     int16_t* dst = row + pad;
     int64_t have = (int64_t)got - data_off;
-    if (have > n * 2) have = n * 2;
+    if (have > w_n * 2) have = w_n * 2;
     if (have > 0) memcpy(dst, hdr + data_off, (size_t)have);
-    int64_t remain = n * 2 - (have > 0 ? have : 0);
+    int64_t remain = w_n * 2 - (have > 0 ? have : 0);
     if (remain > 0) {
         if (fseek(f, (long)(data_off + (have > 0 ? have : 0)), SEEK_SET) != 0 ||
             fread((uint8_t*)dst + (have > 0 ? have : 0), 1, (size_t)remain, f)
@@ -374,20 +382,23 @@ int fill_row_flac(const char* path, int16_t* row, int64_t buf_len, int64_t pad,
     FlacInfo fi = parse_flac_header(data.data(), fsize);
     if (!fi.ok || fi.channels != 1 || fi.bits != 16) return -1;
     int64_t n_total = fi.total_samples;
-    if (n_total <= pad + 1 || pad + n_total > buf_len) return -1;
+    // clamp like fill_row: decode up to the buffer, report the true count
+    int64_t w_n = n_total;
+    if (pad + w_n > buf_len) w_n = buf_len - pad;
+    if (n_total <= pad + 1 || w_n <= pad + 1) return -1;
 
     std::vector<int64_t> scratch;
     int64_t n = decode_flac_mono16(data.data(), fsize, fi, row + pad,
-                                   buf_len - pad, scratch);
-    if (n != n_total) return -1;
+                                   w_n, scratch);
+    if (n != w_n) return -1;
 
     const int16_t* x = row + pad;
     for (int64_t i = 0; i < pad; ++i) row[i] = x[pad - i];
-    int64_t take = buf_len - (pad + n);
+    int64_t take = buf_len - (pad + n_total);  // <= 0 when truncated
     if (take > pad) take = pad;
-    for (int64_t i = 0; i < take; ++i) row[pad + n + i] = x[n - 2 - i];
+    for (int64_t i = 0; i < take; ++i) row[pad + n_total + i] = x[n_total - 2 - i];
 
-    *n_out = (int32_t)n;
+    *n_out = (int32_t)n_total;
     *sr_out = fi.sample_rate;
     return 0;
 }
@@ -478,12 +489,14 @@ int fill_row_f32(const char* path, float* row, int64_t buf_len, int64_t pad,
         if (!fi.ok || fi.channels != 1 || fi.bits != 16) return -1;
         // mono: the channel selector is ignored (reference semantics)
         n = fi.total_samples;
-        if (n <= pad + 1 || pad + n > buf_len) return -1;
-        std::vector<int16_t> tmp((size_t)n);
+        int64_t w_n = n;  // clamp like fill_row; n stays the true count
+        if (pad + w_n > buf_len) w_n = buf_len - pad;
+        if (n <= pad + 1 || w_n <= pad + 1) return -1;
+        std::vector<int16_t> tmp((size_t)w_n);
         std::vector<int64_t> scratch;
-        if (decode_flac_mono16(data.data(), fsize, fi, tmp.data(), n, scratch) != n)
+        if (decode_flac_mono16(data.data(), fsize, fi, tmp.data(), w_n, scratch) != w_n)
             return -1;
-        for (int64_t i = 0; i < n; ++i) dst[i] = (float)tmp[i] / 32768.0f;
+        for (int64_t i = 0; i < w_n; ++i) dst[i] = (float)tmp[i] / 32768.0f;
         rate = fi.sample_rate;
     } else {
         WavFmtAny w = parse_wav_any(data.data(), fsize);
@@ -501,7 +514,9 @@ int fill_row_f32(const char* path, float* row, int64_t buf_len, int64_t pad,
         int64_t avail = fsize - w.data_off;
         int64_t dsize = w.data_declared < avail ? w.data_declared : avail;
         n = dsize / frame_bytes;
-        if (n < pad + 2 || pad + n > buf_len) return -1;
+        int64_t w_n = n;  // clamp like fill_row; n stays the true count
+        if (pad + w_n > buf_len) w_n = buf_len - pad;
+        if (n < pad + 2 || w_n < pad + 2) return -1;
         const uint8_t* p = data.data() + w.data_off;
         uint16_t fmt = w.fmt, bits = w.bits;
 
@@ -531,10 +546,10 @@ int fill_row_f32(const char* path, float* row, int64_t buf_len, int64_t pad,
 
         if (C == 1 || channel != kChannelMean) {
             int c = channel == kChannelMean ? 0 : channel;
-            for (int64_t t = 0; t < n; ++t)
+            for (int64_t t = 0; t < w_n; ++t)
                 dst[t] = sample(p + t * frame_bytes + (int64_t)c * bytes);
         } else {
-            for (int64_t t = 0; t < n; ++t) {
+            for (int64_t t = 0; t < w_n; ++t) {
                 const uint8_t* q = p + t * frame_bytes;
                 float acc = 0.0f;
                 for (int c = 0; c < C; ++c) acc += sample(q + (int64_t)c * bytes);

@@ -365,18 +365,19 @@ class InferenceEngine:
             # partitionable on its own; see _front_end)
             pallas_mel = jax.devices()[0].platform == "tpu"
         self.pallas_mel = bool(pallas_mel)
-        # fuse_pass — tri-state:
-        #   None (default, AUTO): cold passes run interleaved (filler thread
-        #     overlaps decode with transfer; fused cold passes measured far
-        #     slower on relay rigs — no overlap + a single in-dispatch
-        #     upload), but CACHED passes upgrade to one fused executable
-        #     that takes the device-resident per-batch buffers as arguments
-        #     directly — one execute RPC instead of one per batch. Measured
-        #     +25% cached serving throughput (31.0k vs 24.8k audio-s/s/chip,
-        #     384 files; BASELINE.md round 3).
-        #   True: fuse EVERY pass (cold ones too) via one flat upload —
-        #     for fixed-corpus serving on direct-attached hardware.
-        #   False: never fuse.
+        # fuse_pass:
+        #   None/True (default): cold passes run interleaved (filler thread
+        #     overlaps decode with transfer; a fully-fused cold pass
+        #     measured far slower on relay rigs — no overlap + one giant
+        #     in-dispatch upload, BASELINE.md round 3), and CACHED passes
+        #     upgrade to ONE fused executable over the device-resident MEL
+        #     blocks — one execute RPC instead of one per batch, front-end
+        #     skipped entirely. (Round 3 also carried a flat-AUDIO fused
+        #     regime behind fuse_pass=True; it was superseded by the
+        #     mel-fused upgrade for every plan type and removed in round 4 —
+        #     True is now an accepted alias of the default.)
+        #   False: never fuse (cached passes dispatch per-batch
+        #     segment+model programs).
         # All modes are output-identical.
         self.fuse_pass = fuse_pass
         # front-end precision: 'exact' = f32 multi-pass DFT (bit-stable vs
@@ -684,18 +685,6 @@ class InferenceEngine:
             dummies = [jnp.zeros((self.batch_size, k_out), jnp.float32)] * n_batches
             jnp.concatenate(dummies, axis=0).block_until_ready()
 
-        if self._use_fused(plan):
-            # pre-compile + pre-load the single-executable (flat-audio)
-            # pass for this corpus's batching plan
-            plan_keys = tuple(gkey for gkey, _ in plan)
-            jitted, consts_tuple, offsets, buf_lens = self._fused_parts(plan_keys)
-            dtype = np.int16 if plan_keys[0][2] == "i16" else np.float32
-            flat = np.zeros((int(offsets[-1]),), dtype)
-            ns = np.empty((len(plan_keys) * self.batch_size,), np.int32)
-            for j, (sr, bucket, kind) in enumerate(plan_keys):
-                ns[j * self.batch_size : (j + 1) * self.batch_size] = full_n(sr, bucket)
-            jitted(self.params, self.state, consts_tuple, flat, ns).block_until_ready()
-
         bs = self.batch_size
         M = ms.n_mels
         blocks_per = 2 if de else 1
@@ -726,13 +715,9 @@ class InferenceEngine:
             pass
         elif est_cached > cap:
             # PARTIAL regime: cached passes dispatch per-batch seg+model for
-            # the resident subset (never mel_fused) — warm those pipelines.
-            # Except fuse_pass=True engines: they store only all-or-nothing
-            # 'fused' entries (rejected over-cap) and never dispatch the
-            # partial regime, so warming would be pure wasted remote compiles.
-            if not self._use_fused(plan):
-                warm_seg_pipelines(resident_keys)
-        elif self._auto_fuse(plan):
+            # the resident subset (never mel_fused) — warm those pipelines
+            warm_seg_pipelines(resident_keys)
+        elif self._fuse_cached(plan):
             # pre-compile + pre-load the fused cached-pass executable (the
             # AUTO cache-hit upgrade target: a cold compile on the first
             # cached pass would go through the slow remote-compile channel)
@@ -753,7 +738,7 @@ class InferenceEngine:
                   for _ in range(blocks_per * len(plan))]
             jnp.concatenate(dbs).block_until_ready()
             jnp.concatenate(nz).block_until_ready()
-        elif not self._use_fused(plan):
+        else:
             # mesh / fuse_pass=False / single-batch plans: cached passes
             # dispatch the per-batch segment+model program — warm it
             warm_seg_pipelines({gkey for gkey, _ in plan})
@@ -761,22 +746,13 @@ class InferenceEngine:
         if prime_fetch:
             np.asarray(jnp.zeros((1,), jnp.float32))
 
-    def _use_fused(self, plan):
-        """Explicit fuse_pass=True: fuse even the cold pass (one flat
-        upload). Needs a uniform transport dtype for the flat pack."""
-        return (
-            self.fuse_pass is True
-            and not self.model.double_ended
-            and self.mesh is None
-            and len(plan) > 1
-            and len({k for (_, _, k), _ in plan}) == 1
-        )
-
-    def _auto_fuse(self, plan):
-        """AUTO (fuse_pass=None): upgrade CACHED passes to one fused
-        executable — one execute RPC instead of one per batch. Excluded
-        under a mesh (per-batch dispatches carry the sharding)."""
-        return self.fuse_pass is None and self.mesh is None and len(plan) > 1
+    def _fuse_cached(self, plan):
+        """fuse_pass None/True (default): upgrade CACHED passes to one fused
+        executable over the resident MEL blocks — one execute RPC instead of
+        one per batch. Excluded under a mesh (per-batch dispatches carry the
+        sharding) and for single-batch plans (already one executable)."""
+        return (self.fuse_pass is not False and self.mesh is None
+                and len(plan) > 1)
 
     def _fused_mel_parts(self, plan_keys):
         """One jit for a whole CACHED pass over cached MEL-dB blocks: a
@@ -887,6 +863,9 @@ class InferenceEngine:
         de = self.model.double_ended
         bs = self.batch_size
         cold = hit["cold"]
+        # residency observability for the scaling study (BASELINE.md round 4)
+        timings["resident_batches"] = len(hit["batches"])
+        timings["cold_batches"] = len(cold)
 
         # resident batches dispatch BEFORE the tail scan: their (async)
         # dispatches depend on nothing host-side, so the device chews on
@@ -948,15 +927,17 @@ class InferenceEngine:
         """Predict for a list of audio paths -> (N, out_dim) float32.
 
         Builds a corpus-adaptive batching plan (see :meth:`_plan_for`),
-        restores input order, and runs one of three regimes:
-          * cached: the corpus's device-resident input batches are reused —
-            no decode, no upload; just execute + fetch. Under the AUTO fuse
-            mode (default) the whole cached pass executes as ONE fused
-            program over the resident buffers (one execute RPC);
-          * fused (``fuse_pass=True``): every pass (cold included) is one
-            executable fed by one flat upload;
-          * interleaved (cold-pass default): each batch dispatches as soon
-            as its host fill completes, overlapping decode with device work.
+        restores input order, and runs one of the serving regimes:
+          * interleaved (cold pass): each batch dispatches as soon as its
+            host fill completes, overlapping decode with device work; the
+            pipelines' MEL-dB outputs populate the corpus cache;
+          * cached (default fuse): the whole pass executes as ONE fused
+            program over the device-resident mel blocks — no decode, no
+            upload, no front-end recompute; one execute RPC;
+          * cached per-batch (mesh / ``fuse_pass=False`` / single-batch
+            plans): segment+model programs over the cached mels;
+          * cached partial (corpus > ``cache_mb``): resident batches run
+            from their mel blocks, the cold tail re-decodes per pass.
         All regimes produce identical outputs. ``fetch=False`` blocks on
         completion and returns None (see :meth:`warmup`).
 
@@ -986,12 +967,7 @@ class InferenceEngine:
         if hit is not None:
             self._corpus_cache[fp] = hit  # LRU refresh
             timings = {}
-            if hit["mode"] == "fused":  # legacy flat-audio (fuse_pass=True)
-                all_dev = hit["jitted"](self.params, self.state, hit["consts"],
-                                        hit["flat"], hit["ns"])
-                out = self._collect_fused(all_dev, hit["plan"], N, fetch,
-                                          timings=timings)
-            elif hit["mode"] == "mel_fused":
+            if hit["mode"] == "mel_fused":
                 all_dev = hit["jitted"](self.params, self.state,
                                         hit["flat"], hit["ns"])
                 out = self._collect_fused(all_dev, hit["plan"], N, fetch,
@@ -1008,8 +984,8 @@ class InferenceEngine:
                 self._note_pass("cached_partial", N, len(hit["plan"]), t0,
                                 t0, time.perf_counter(), timings)
                 return (lambda: out) if fetch == "async" else out
-            elif self._auto_fuse(hit["plan"]):
-                # AUTO fuse: upgrade once to one executable for the whole
+            elif self._fuse_cached(hit["plan"]):
+                # default fuse: upgrade once to one executable for the whole
                 # cached pass over the resident MEL blocks — one execute RPC
                 # instead of len(plan), and no front-end recompute
                 # (measured faster on every session; BASELINE.md round 3)
@@ -1037,33 +1013,6 @@ class InferenceEngine:
         t_plan = time.perf_counter()
 
         caching = fp is not None
-
-        if self._use_fused(plan):
-            plan_keys = tuple(gkey for gkey, _ in plan)
-            jitted, consts_tuple, offsets, buf_lens = self._fused_parts(plan_keys)
-            dtype = np.int16 if plan_keys[0][2] == "i16" else np.float32
-            flat = self._host_buf(("fused_flat", plan_keys), (int(offsets[-1]),), dtype)
-            ns = np.empty((len(plan) * bs,), np.int32)
-            for j, (gkey, chunk) in enumerate(plan):
-                buf, n = self._make_batch(
-                    chunk, audio, audio_ref, buf_lens[j], bs, de, gkey[2],
-                    paths=paths, paths_ref=paths_ref, ordinal=j,
-                )
-                flat[offsets[j] : offsets[j + 1]] = buf.reshape(-1)
-                ns[j * bs : (j + 1) * bs] = n
-            flat_in, ns_in = flat, ns
-            if caching:
-                flat_in, ns_in = jax.device_put(flat), jax.device_put(ns)
-                self._cache_store(fp, {
-                    "mode": "fused", "plan": plan, "jitted": jitted,
-                    "consts": consts_tuple, "flat": flat_in, "ns": ns_in,
-                    "bytes": flat_in.nbytes + ns_in.nbytes,
-                })
-            all_dev = jitted(self.params, self.state, consts_tuple, flat_in, ns_in)
-            out = self._collect_fused(all_dev, plan, N,
-                                      True if fetch == "async" else fetch)
-            self._note_pass("fused", N, len(plan), t0, t_plan, time.perf_counter())
-            return (lambda: out) if fetch == "async" else out
 
         # Pipelined cold pass: a background filler thread decodes batch j+1
         # while the main thread transfers/dispatches batch j. The C++ fill
@@ -1247,53 +1196,6 @@ class InferenceEngine:
             timings["fetch_s"] = round(time.perf_counter() - t1, 4)
         return self._scatter_fused(all_y, plan, N)
 
-    def _fused_parts(self, plan_keys):
-        """One jit for a whole pass: every (sr, bucket, kind) batch in
-        ``plan_keys`` runs inside a single executable returning the
-        row-concatenated predictions — one execute RPC per pass.
-
-        Returns (jitted, consts_tuple, offsets, buf_lens); the caller packs
-        the batch buffers into ONE flat array (plus one flat n array),
-        statically sliced apart on device, so the whole pass costs one
-        argument upload + one execute + one fetch RPC (the relay's per-RPC
-        latency, not bytes or FLOPs, is the pass floor; RELAY_NOTES.md).
-        Only uniform-dtype plans fuse; i16/f32 mixes use the unfused path.
-        """
-        cache_key = ("fused", plan_keys)
-        if cache_key in self._pipelines:
-            return self._pipelines[cache_key]
-
-        model = self.model
-        precision = self.precision
-        fes, consts_list = [], []
-        for sr, bucket, kind in plan_keys:
-            self._pipeline(sr, bucket, kind)  # ensures consts + buf_lens exist
-            fe, _ = _front_end(self.ms, sr, bucket, pallas_mel=self.pallas_mel,
-                               fe_fast=(self.fe_precision == "fast"))
-            fes.append(fe)
-            # consts must stay explicit arguments: closed-over arrays embed
-            # as HLO literals, which poisons the relay link on load
-            consts_list.append(self._consts[(sr, kind)])
-
-        bs = self.batch_size
-        buf_lens = [self._buf_lens[k] for k in plan_keys]
-        offsets = np.cumsum([0] + [bs * L for L in buf_lens])
-
-        def run(params, state, consts_tuple, flat, ns):
-            outs = []
-            with jax.default_matmul_precision(precision):
-                for j, fe in enumerate(fes):
-                    buf = lax.slice(flat, (int(offsets[j]),), (int(offsets[j + 1]),))
-                    buf = buf.reshape(bs, buf_lens[j])
-                    n = lax.slice(ns, (j * bs,), ((j + 1) * bs,))
-                    outs.append(_stack_and_apply(
-                        model, params, state, [fe(consts_tuple[j], buf, n)]))
-                return jnp.concatenate(outs, axis=0)
-
-        parts = (jax.jit(run), tuple(consts_list), offsets, buf_lens)
-        self._pipelines[cache_key] = parts
-        return parts
-
     def _host_buf(self, key, shape, dtype, zero=False):
         buf = self._host_bufs.get(key)
         if buf is None or buf.shape != shape:
@@ -1351,7 +1253,12 @@ class InferenceEngine:
                 x = source[i][1]
                 ln = len(x)
                 buf[j, :pad] = x[pad:0:-1]
-                buf[j, pad : pad + ln] = x
+                # clamp like fill_f32: under seg_hop subsampling a file's
+                # ceil-remainder tail extends past the bucket's STFT read
+                # span — those samples are never read by any frame. n keeps
+                # the TRUE count so device masks match the scan-time plan.
+                w = min(ln, buf_len - pad)
+                buf[j, pad : pad + w] = x[:w]
                 # the tail of the right reflect pad past the last read
                 # position is never consumed; clamp to the buffer
                 take = min(pad, buf_len - (pad + ln))

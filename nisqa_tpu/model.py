@@ -109,8 +109,8 @@ class NisqaTPU:
                 # engine tuning surface (absent from the reference; defaults
                 # are the measured-best configuration — BASELINE.md)
                 pallas_mel=args.get("pallas_mel"),
-                # tri-state: absent/null = AUTO (cached passes fuse into one
-                # executable); explicit true/false forces/disables
+                # absent/null/true = cached passes fuse into one executable;
+                # false disables the cached-pass fusion
                 fuse_pass=args.get("fuse_pass"),
                 # null-tolerant like the other args (`serving_cache_mb: null`
                 # keeps the default; explicit 0 disables the cache)

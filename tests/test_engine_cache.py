@@ -112,18 +112,25 @@ def test_cache_eviction_lru(tmp_path):
     assert eng._cache_bytes <= int(eng.cache_mb * (1 << 20))
 
 
-def test_fused_cached_pass_matches(tmp_path):
+def test_fuse_pass_true_is_alias_of_default(tmp_path):
+    """fuse_pass=True (the legacy flat-audio-fused knob) now maps onto the
+    surviving regimes: interleaved cold pass + mel-fused cached passes —
+    identical outputs, and repeat cached passes bit-identical."""
     names = _write_corpus(tmp_path, n=6)
     paths = [str(tmp_path / n) for n in names]
     e_plain = _engine(tmp_path, batch_size=2, cache_mb=0)
     e_fused = _engine(tmp_path, batch_size=2, cache_mb=256, fuse_pass=True)
     e_fused.warmup(paths)
     y0 = e_plain.predict_paths(paths)
-    y1 = e_fused.predict_paths(paths)  # fused, builds cache
+    y1 = e_fused.predict_paths(paths)  # cold interleaved, builds mel cache
+    assert e_fused.stats["last"]["mode"] == "interleaved"
     assert e_fused._corpus_cache
-    y2 = e_fused.predict_paths(paths)  # fused from device-resident flat
+    y2 = e_fused.predict_paths(paths)  # one mel-fused executable
+    assert next(iter(e_fused._corpus_cache.values()))["mode"] == "mel_fused"
+    y3 = e_fused.predict_paths(paths)
     assert np.abs(y1 - y0).max() < 1e-6
-    np.testing.assert_array_equal(y1, y2)
+    np.testing.assert_allclose(y2, y1, atol=1e-6)
+    np.testing.assert_array_equal(y2, y3)
 
 
 def _has_mel_fused_pipeline(eng):
@@ -330,13 +337,14 @@ def test_warmup_partial_cache_warms_resident_seg_only(tmp_path):
 
     assert seg_keys(eng)
     assert not _has_mel_fused_pipeline(eng)
-    # fuse_pass=True engines store only all-or-nothing 'fused' entries and
-    # never dispatch the partial regime — warmup must not compile its
-    # seg+model executables for them
+    # fuse_pass=True is an alias of the default since round 4 (the legacy
+    # flat-audio fused regime is gone) — partial-regime warmup behaves
+    # identically
     e_fused = _engine(tmp_path, batch_size=2, fuse_pass=True,
                       cache_mb=(sizes[0] + 1) / (1 << 20))
     e_fused.warmup(paths)
-    assert not seg_keys(e_fused)
+    assert seg_keys(e_fused)
+    assert not _has_mel_fused_pipeline(e_fused)
 
 
 def test_warmup_skips_cached_pass_compiles_when_cache_cannot_fit(tmp_path):
@@ -382,9 +390,9 @@ def test_async_fetch_matches_sync_all_regimes(tmp_path):
     assert eng.stats["passes"] == 4 and eng.stats["cache_hits"] == 3
 
     e_fused = _engine(tmp_path, batch_size=2, cache_mb=256, fuse_pass=True)
-    hf = e_fused.predict_paths(paths, fetch="async")
+    hf = e_fused.predict_paths(paths, fetch="async")  # cold: eager
     np.testing.assert_array_equal(hf(), y_sync)
-    hf2 = e_fused.predict_paths(paths, fetch="async")  # cached 'fused' hit
+    hf2 = e_fused.predict_paths(paths, fetch="async")  # mel-fused cached hit
     np.testing.assert_array_equal(hf2(), y_sync)
 
     h_empty = eng.predict_paths([], fetch="async")

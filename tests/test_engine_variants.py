@@ -96,7 +96,8 @@ def test_ms_sr_resampling(tmp_path):
 
 
 def test_fuse_pass_matches_unfused(tmp_path):
-    """fuse_pass=True (one executable per pass) must be output-identical."""
+    """fuse_pass=True (alias of the default since round 4: mel-fused cached
+    passes) must be output-identical to the default engine."""
     from nisqa_tpu.compat.torch_ckpt import load_model_from_tar
     from nisqa_tpu.data.pipeline import InferenceEngine, MsConfig
 
