@@ -1,0 +1,69 @@
+"""Corpus-scale parity regression (VERDICT round 3, next #7).
+
+`tools/measure_parity.py --corpus --record` measures end-to-end output
+parity vs the PyTorch reference over the full 384-file bench corpus on the
+real TPU and records it to tests/goldens/parity_corpus.json. Two layers of
+CI protection:
+
+  * always-on: the recorded numbers themselves must satisfy the BASELINE
+    budget (<0.01 MOS MAE, r > 0.999; TTS < 1e-3) — a re-record that drifts
+    out of budget fails the suite even on CPU-only hosts;
+  * hardware (NISQA_HW_PARITY=1): re-measures on the attached device and
+    fails if any config drifted materially from the recorded baseline or
+    out of the absolute budget. This is what pins the `fe_precision` AUTO
+    decision ('fast' bf16 DFT at default engine precision — BASELINE.md
+    round 3) when the engine changes.
+"""
+
+import json
+import os
+
+import pytest
+
+RECORD = os.path.join(os.path.dirname(__file__), "goldens", "parity_corpus.json")
+
+# absolute budgets (BASELINE.json: MOS MAE < 0.01; TTS measured at 2e-5)
+BUDGET = {
+    "nisqa.tar": (0.01, 0.999),
+    "nisqa_mos_only.tar": (0.01, 0.999),
+    "nisqa_tts.tar": (1e-3, 0.9999),
+}
+
+
+def _budget_for(key):
+    return BUDGET[key.split("::")[0]]
+
+
+@pytest.mark.skipif(not os.path.exists(RECORD), reason="no recorded baseline")
+def test_recorded_parity_within_budget():
+    with open(RECORD) as f:
+        rec = json.load(f)
+    assert len(rec) >= 5  # 2 ckpts x 2 fe modes + TTS
+    for key, m in rec.items():
+        mae_budget, r_budget = _budget_for(key)
+        assert m["mos_mae"] < mae_budget, (key, m)
+        assert m["pearson_r"] > r_budget, (key, m)
+
+
+@pytest.mark.skipif(not os.environ.get("NISQA_HW_PARITY"),
+                    reason="hardware parity job (set NISQA_HW_PARITY=1)")
+def test_hardware_parity_matches_recorded():
+    """Re-measure on the attached device; fail on material drift."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from measure_parity import corpus_scale
+
+    with open(RECORD) as f:
+        rec = json.load(f)
+    got = corpus_scale(record=False)
+    for key, m in got.items():
+        mae_budget, r_budget = _budget_for(key)
+        assert m["mos_mae"] < mae_budget, (key, m)
+        assert m["pearson_r"] > r_budget, (key, m)
+        base = rec.get(key)
+        assert base is not None, f"new config {key} not in recorded baseline"
+        # drift gate: 3x the recorded MAE + 2e-4 absolute slack covers
+        # device/pool numeric noise while catching a regressed front-end
+        assert m["mos_mae"] <= 3.0 * base["mos_mae"] + 2e-4, (key, m, base)

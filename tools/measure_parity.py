@@ -13,8 +13,14 @@ nisqa.tar + nisqa_mos_only.tar over the FULL 384-file bench corpus at both
 'exact' and 'fast' front-end precision, and nisqa_tts.tar over 32 long
 (10-40 s, seg_hop=1) TTS clips; reports MAE, max-abs AND Pearson r per
 config. Results go to BASELINE.md.
+
+``--corpus --record``: additionally writes the measured numbers to
+tests/goldens/parity_corpus.json — the regression baseline that
+tests/test_parity_regression.py diffs against (so a parity drift when the
+engine changes fails a test, not just a stale BASELINE paragraph).
 """
 
+import json
 import os
 import sys
 import types
@@ -88,9 +94,14 @@ def _compare(tar, name, paths, precision, fe_precision, bs=8, ref_cache={}):
         f"MOS MAE={diff[:, 0].mean():.5f} max(all dims)={diff.max():.5f} "
         f"pearson_r(MOS)={r:.6f}"
     )
+    return {
+        "n": len(paths), "precision": precision, "fe": fe_precision,
+        "mos_mae": float(diff[:, 0].mean()), "max_abs": float(diff.max()),
+        "pearson_r": float(r),
+    }
 
 
-def corpus_scale():
+def corpus_scale(record=False):
     """384-file + long-TTS parity measurement (run on the real TPU)."""
     from bench import CORPUS_DIR, make_corpus
 
@@ -99,22 +110,32 @@ def corpus_scale():
         os.path.join(CORPUS_DIR, f) for f in os.listdir(CORPUS_DIR) if f.endswith(".wav")
     )
     print(f"== corpus-scale parity: {len(paths)} bench files ==")
+    results = {}
     for tar, name in (("nisqa.tar", "NISQA_DIM"), ("nisqa_mos_only.tar", "NISQA")):
         for fe in ("exact", "fast"):
-            _compare(tar, name, paths, "default", fe, bs=32)
+            results[f"{tar}::{fe}"] = _compare(tar, name, paths, "default", fe, bs=32)
 
     from bench_tts import make_corpus as make_tts
 
     _, tts_paths = make_tts(n_files=32)
     print(f"== long-clip TTS parity: {len(tts_paths)} files of 10-40 s ==")
-    _compare("nisqa_tts.tar", "NISQA", tts_paths, "default", "exact", bs=8)
+    results["nisqa_tts.tar::exact"] = _compare(
+        "nisqa_tts.tar", "NISQA", tts_paths, "default", "exact", bs=8)
+
+    if record:
+        out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "tests", "goldens", "parity_corpus.json")
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+        print(f"recorded -> {out}")
+    return results
 
 
 def main():
     from bench import CORPUS_DIR, make_corpus
 
     if "--corpus" in sys.argv:
-        return corpus_scale()
+        return corpus_scale(record="--record" in sys.argv)
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     precision = sys.argv[2] if len(sys.argv) > 2 else "default"
     fe_precision = sys.argv[3] if len(sys.argv) > 3 else "exact"
