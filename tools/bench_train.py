@@ -10,7 +10,7 @@ exactly like `_train_mos`, `/root/reference/nisqa/NISQA_model.py:83-230`).
 
 Prints one JSON line.
 
-Options (VERDICT round 2, next #6):
+Options (VERDICT round 2, next #6; round 3, next #6):
   --files N        corpus size (default 96; 384 = the serving bench corpus)
   --precision P    tr_precision A/B: 'highest' (train default) | 'default'
                    (fast bf16-pass matmuls)
@@ -18,6 +18,14 @@ Options (VERDICT round 2, next #6):
                    noise, so final val r_p/RMSE are meaningful for the
                    precision A/B (reported in the JSON either way)
   --epochs N       epochs (default 4)
+  --tts            NISQA-TTS geometry smoke (VERDICT round 3, next #6): the
+                   nisqa_tts.tar architecture + ms args (StandardCNN+fc20 ->
+                   biLSTM -> last_step_bi; seg_hop=1, ms_max_segments=6000,
+                   fmax 8 kHz) trained from scratch over the 10-40 s TTS
+                   bench corpus — verifies the fused train step compiles
+                   within HBM at the 4,000-6,000-segment buckets and records
+                   its a-s/s. --files here = TTS corpus size (default 16).
+  --bs N           train batch size (default 32; TTS default 8)
 """
 
 import json
@@ -57,13 +65,21 @@ def main():
     def opt(name, default=None):
         return argv[argv.index(name) + 1] if name in argv else default
 
-    n_files = int(opt("--files", 96))
+    tts = "--tts" in argv
+    n_files = int(opt("--files", 16 if tts else 96))
     precision = opt("--precision")
     learnable = "--learnable" in argv
     n_epochs = int(opt("--epochs", 4))
-    corpus_dir = _corpus_dir(n_files)
+    tr_bs = int(opt("--bs", 8 if tts else 32))
 
-    total_sec, paths = make_corpus(corpus_dir, n_files=n_files)
+    if tts:
+        from bench_tts import CORPUS_DIR as TTS_DIR, make_corpus as make_tts
+
+        corpus_dir = TTS_DIR
+        total_sec, paths = make_tts(n_files=n_files)
+    else:
+        corpus_dir = _corpus_dir(n_files)
+        total_sec, paths = make_corpus(corpus_dir, n_files=n_files)
     names = [os.path.basename(p) for p in paths]
     n_train = n_files * 5 // 6
     rng = np.random.default_rng(0)
@@ -81,9 +97,10 @@ def main():
 
     import torch
 
-    ckpt = torch.load("/root/reference/weights/nisqa_mos_only.tar",
-                      map_location="cpu", weights_only=False)
-    args = dict(ckpt["args"])  # full standard architecture + ms geometry
+    base_tar = ("/root/reference/weights/nisqa_tts.tar" if tts
+                else "/root/reference/weights/nisqa_mos_only.tar")
+    ckpt = torch.load(base_tar, map_location="cpu", weights_only=False)
+    args = dict(ckpt["args"])  # full architecture + ms geometry
     args.update({
         "mode": "main", "name": "trbench", "model": "NISQA",
         "pretrained_model": False, "data_dir": corpus_dir,
@@ -91,14 +108,16 @@ def main():
         "csv_deg": "deg", "csv_mos_train": "mos", "csv_mos_val": "mos",
         "csv_db_train": ["train"], "csv_db_val": ["val"], "csv_con": None,
         "csv_ref": None,
-        "tr_epochs": n_epochs, "tr_early_stop": 50, "tr_bs": 32, "tr_bs_val": 32,
+        "tr_epochs": n_epochs, "tr_early_stop": 50,
+        "tr_bs": tr_bs, "tr_bs_val": tr_bs,
         "tr_lr": 1e-3, "tr_lr_patience": 15, "tr_num_workers": 8,
         "tr_parallel": False, "tr_checkpoint": "best_only", "tr_verbose": 0,
         "tr_bias_mapping": None, "tr_bias_min_r": None,
         "tr_bias_anchor_db": None, "tr_ds_to_memory": True, "seed": 0,
-        # device corpus cap must hold the full train split at 384 files
-        # (~6 MB/file of padded i16): scale with the corpus like bench.py
-        "tr_device_cache_mb": max(1024, n_files * 6),
+        # device corpus cap must hold the full train split: ~6 MB/file of
+        # padded i16 at 3-30 s (mel-resident rows are ~5x smaller); TTS
+        # clips run 10-40 s (seg_hop=1 -> ~1.9 MB of mel rows per 10 s)
+        "tr_device_cache_mb": max(1024, n_files * (24 if tts else 6)),
     })
     if precision:
         args["tr_precision"] = precision
@@ -149,10 +168,14 @@ def main():
             break
 
     print(json.dumps({
-        "metric": "train_epoch_throughput_nisqa_bs32",
+        "metric": (f"train_epoch_throughput_nisqa_tts_bs{tr_bs}" if tts
+                   else f"train_epoch_throughput_nisqa_bs{tr_bs}"),
         "value": round(value, 2),
         "unit": "audio-sec/sec/chip",
-        "vs_baseline": round(value / CPU_TRAIN_BASELINE, 2),
+        # the measured CPU denominator is the AdaptCNN+SA architecture;
+        # no TTS CPU train baseline exists, so the ratio is omitted there
+        **({} if tts else
+           {"vs_baseline": round(value / CPU_TRAIN_BASELINE, 2)}),
         "epoch_sec_best": round(best_epoch, 2),
         "files": n_files,
         "tr_precision": precision or "highest",
