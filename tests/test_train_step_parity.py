@@ -70,10 +70,12 @@ params, state = to64(params), to64(state)
 
 xb = x if model.double_ended else x[:, :, 0]
 nb = jnp.asarray(n_wins)
+K = y.shape[1]  # 5 for NISQA_DIM: the summed per-target loss of _train_dim
 
 def loss_fn(p):
     y_hat, new_bn = model.apply(p, state, xb, nb, train=True, rng=None)
-    return nan_mse(y_hat[:, 0], jnp.asarray(y)[:, 0]), new_bn
+    yj = jnp.asarray(y)
+    return sum(nan_mse(y_hat[:, k], yj[:, k]) for k in range(K)), new_bn
 
 (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
 assert abs(float(loss) - float(z["loss"])) < 1e-9, ("loss", float(loss), float(z["loss"]))
@@ -101,7 +103,8 @@ print("TRAIN_STEP_PARITY_OK")
 
 @pytest.mark.parametrize(
     "golden",
-    ["g_train_step.npz", "g_train_step_lstm.npz", "g_train_step_de.npz"],
+    ["g_train_step.npz", "g_train_step_lstm.npz", "g_train_step_dim.npz",
+     "g_train_step_de.npz"],
 )
 def test_one_train_step_matches_reference(golden):
     path = os.path.join(GOLDEN_DIR, golden)

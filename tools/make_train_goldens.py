@@ -73,7 +73,7 @@ def build_reference_model(name, margs):
     return cls(**kwargs)
 
 
-def synth_inputs(seed, B, T, double_ended=False):
+def synth_inputs(seed, B, T, double_ended=False, n_targets=1):
     rng = np.random.default_rng(seed)
     C = 2 if double_ended else 1
     x = rng.uniform(-80.0, 0.0, size=(B, T, C, 48, 15)).astype(np.float64)
@@ -82,7 +82,7 @@ def synth_inputs(seed, B, T, double_ended=False):
     for b in range(B):
         for c in range(C):
             x[b, n_wins[b, c]:, c] = 0.0
-    y = rng.uniform(1.0, 5.0, size=(B, 1))
+    y = rng.uniform(1.0, 5.0, size=(B, n_targets))
     if not double_ended:
         return x, n_wins[:, 0].copy(), y
     return x, np.ascontiguousarray(n_wins.astype(np.int64)), y
@@ -120,14 +120,20 @@ def make_train_step_golden(fname, name, overrides, seed, B, T):
     model = build_reference_model(name, margs).double().train()
     sd0 = copy.deepcopy(model.state_dict())
 
-    x, n_wins, y = synth_inputs(seed + 1, B, T, double_ended=(name == "NISQA_DE"))
+    n_targets = 5 if name == "NISQA_DIM" else 1
+    x, n_wins, y = synth_inputs(seed + 1, B, T,
+                                double_ended=(name == "NISQA_DE"),
+                                n_targets=n_targets)
     # the reference dataset ships (B, T, C, H, S); Framewise consumes it
     xt = torch.from_numpy(x)
     yt = torch.from_numpy(y)
 
     opt = torch.optim.Adam(model.parameters(), lr=1e-3)
     y_hat = model(xt, torch.from_numpy(np.asarray(n_wins)))
-    loss = torch.mean((y_hat - yt) ** 2)
+    # MOS: plain MSE; DIM: the reference sums the 5 per-target losses
+    # (`NISQA_model.py:341-347`)
+    loss = sum(torch.mean((y_hat[:, k] - yt[:, k]) ** 2)
+               for k in range(n_targets))
     loss.backward()
     grads = {k: p.grad.detach().numpy().copy()
              for k, p in model.named_parameters()}
@@ -160,6 +166,11 @@ def main():
              td_lstm_bidirectional=True, td_2="skip", pool="avg"),
         seed=211, B=3, T=22,
     )
+
+    # NISQA_DIM (nisqa.tar architecture): 5 deep-copied pooling heads, the
+    # summed 5-target loss of `_train_dim` (`NISQA_model.py:341-347`).
+    make_train_step_golden("g_train_step_dim.npz", "NISQA_DIM", {},
+                           seed=411, B=3, T=20)
 
     # Double-ended (BASELINE config 5 architecture): Siamese trunk with the
     # serial shared-BN update, hard-attention argmax gather gradient, fusion.
