@@ -153,3 +153,48 @@ def test_async_fetch_under_mesh_matches_single(tmp_path):
     np.testing.assert_allclose(y_cold, y_ref, atol=1e-5)
     np.testing.assert_allclose(h1(), y_ref, atol=1e-5)
     np.testing.assert_allclose(h2(), y_ref, atol=1e-5)
+
+
+def test_partial_cache_under_mesh_matches_single(tmp_path):
+    """PARTIAL cache regime on a mesh-sharded engine (corpus > cache_mb):
+    resident batches serve from sharded mel blocks, the cold tail re-fills
+    with sharded device_put — outputs must match the unsharded engine and
+    stay bit-stable across passes."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from nisqa_tpu.compat.torch_ckpt import load_model_from_tar
+    from nisqa_tpu.data.pipeline import InferenceEngine, MsConfig
+    from nisqa_tpu.parallel.mesh import make_mesh
+
+    names = _write_corpus(tmp_path, n=12)
+    paths = [str(tmp_path / n) for n in names]
+    ckpt = _make_ckpt(tmp_path)
+    model, params, state, args = load_model_from_tar(ckpt)
+    y_ref = InferenceEngine(model, params, state, MsConfig(args),
+                            batch_size=4, num_workers=0).predict_paths(paths)
+
+    # size the cap off an uncapped mesh engine's resident entry so exactly
+    # one batch block fits (same trick as test_engine_cache partial tests)
+    probe = InferenceEngine(model, params, state, MsConfig(args),
+                            batch_size=4, num_workers=0, mesh=make_mesh(),
+                            cache_mb=256)
+    probe.predict_paths(paths)
+    sizes = [sum(a.nbytes for a in a_args) for _, _, a_args in
+             next(iter(probe._corpus_cache.values()))["batches"]]
+    # the mesh rounds batch_size up to a device multiple (4 -> 8): 2 blocks
+    assert len(sizes) == 2  # ceil(12/8)
+
+    eng = InferenceEngine(model, params, state, MsConfig(args),
+                          batch_size=4, num_workers=0, mesh=make_mesh(),
+                          cache_mb=(sizes[0] + 1) / (1 << 20))
+    y1 = eng.predict_paths(paths)
+    entry = next(iter(eng._corpus_cache.values()))
+    assert entry["batches"] and entry["cold"]
+    y2 = eng.predict_paths(paths)
+    assert eng.stats["last"]["mode"] == "cached_partial"
+    y3 = eng.predict_paths(paths)
+    np.testing.assert_allclose(y1, y_ref, atol=1e-5)
+    np.testing.assert_allclose(y2, y_ref, atol=1e-5)
+    np.testing.assert_array_equal(y2, y3)
