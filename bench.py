@@ -149,25 +149,41 @@ def _run(warm_only=False):
     devrate = bool(os.environ.get("NISQA_BENCH_DEVRATE"))
     stages = bool(os.environ.get("NISQA_BENCH_STAGES"))
 
-    def async_blocks(n_blocks=3):
-        # pipelined steady state: blocks of 4 overlapped CACHED passes —
-        # all dispatched before any handle is resolved, so each pass's
-        # readback RPC rides behind the next passes' device execution.
-        # Every handle is resolved and every output validated (the assert
-        # runs inside the loop so EVERY block's outputs are checked).
+    # pipelining depth: passes dispatched per block before any handle
+    # resolves. Default 8 — the measured knee of the same-session depth
+    # curve (BASELINE.md round 4); NISQA_BENCH_ASYNC_DEPTH overrides.
+    default_depth = int(os.environ.get("NISQA_BENCH_ASYNC_DEPTH") or 8)
+
+    def async_blocks(n_blocks=3, depth=None):
+        # pipelined steady state: blocks of `depth` overlapped CACHED
+        # passes — all dispatched before any handle is resolved, so each
+        # pass's readback RPC rides behind the next passes' device
+        # execution. Every handle is resolved and every output validated
+        # (the assert runs inside the loop so EVERY block's outputs are
+        # checked).
+        depth = depth or default_depth
         walls = []
         for b in range(n_blocks):
             tic = time.time()
             handles = [engine.predict_paths(paths, fetch="async")
-                       for _ in range(4)]
+                       for _ in range(depth)]
             ys = [h() for h in handles]
-            walls.append((time.time() - tic) / 4)
+            walls.append((time.time() - tic) / depth)
             assert all(np.isfinite(yy).all() for yy in ys)
             if stages:
                 print(f"async block {b}: {engine.stats['last']}",
                       file=sys.stderr)
         return min(walls)
 
+    if os.environ.get("NISQA_BENCH_ASYNC_SWEEP"):
+        # same-session pipelining-depth curve: one cold pass, then the
+        # async steady state at each depth in turn (comma-separated list)
+        y = engine.predict_paths(paths)
+        assert np.isfinite(y).all()
+        sweep = {}
+        for d in os.environ["NISQA_BENCH_ASYNC_SWEEP"].split(","):
+            sweep[f"async_d{d}"] = async_blocks(depth=int(d))
+        return total_audio_sec, sweep
     if os.environ.get("NISQA_BENCH_ASYNC"):
         # A/B mode: ONLY the pipelined steady state (pass 1 cold fetched to
         # populate the device-resident cache)
@@ -266,6 +282,15 @@ def main():
     total_audio_sec, walls = _run()
 
     metric = "predict_dir_throughput_nisqa_dim_bs32"
+    sweep_keys = [k for k in walls if k.startswith("async_d")]
+    if sweep_keys:
+        # depth-sweep mode: one record with the whole same-session curve
+        print(json.dumps({
+            "metric": metric + "_async_depth_sweep",
+            "unit": "audio-sec/sec/chip",
+            **{k: round(total_audio_sec / walls[k], 2) for k in sweep_keys},
+        }))
+        return
     if "async" in walls:
         # default run: all three regimes from ONE session. Headline stays
         # the pipelined serving steady state (round-3 definition); the
