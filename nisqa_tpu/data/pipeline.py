@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 import os
+import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 from functools import partial
@@ -1077,6 +1078,21 @@ class InferenceEngine:
                 self._cap_bytes())
             cold_tail = [(gkey, chunk) for gkey, chunk, _ in cold]
             if resident:
+                if cold_tail:
+                    # sizing advisory (stderr: stdout is the results/JSON
+                    # channel): partial residency re-uploads the tail every
+                    # pass — tell the user the cap that makes it resident
+                    need_mb = -(-sum(sum(a.nbytes for a in t[2])
+                                     for t in cached_batches) // (1 << 20))
+                    print(
+                        f"nisqa_tpu: corpus mels exceed the serving cache "
+                        f"cap ({self.cache_mb:.0f} MB): {len(resident)}/"
+                        f"{len(cached_batches)} batches stay device-"
+                        f"resident, {len(cold_tail)} re-decode+re-upload "
+                        f"per pass. Full residency needs "
+                        f"serving_cache_mb >= {need_mb}.",
+                        file=sys.stderr,
+                    )
                 self._cache_store(fp, {
                     "mode": "mel", "plan": plan, "batches": resident,
                     "cold": cold_tail, "bytes": used,

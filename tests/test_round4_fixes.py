@@ -106,3 +106,29 @@ def test_bucket_tail_overflow_f32_and_flac_transports(tmp_path, monkeypatch):
     assert np.isfinite(out).all()
     # mono flac == mono wav content; stereo mean of identical channels too
     assert abs(out[0, 0] - out[1, 0]) < 1e-4
+
+
+def test_partial_cache_advisory_on_stderr(tmp_path, capfd):
+    """Storing a PARTIAL cache entry prints a one-line sizing advisory to
+    stderr (stdout is the results/JSON channel); full residency stays
+    silent."""
+    from tests.test_e2e import _write_corpus
+
+    names = _write_corpus(tmp_path, n=6)
+    paths = [str(tmp_path / n) for n in names]
+    _make_ckpt(tmp_path)
+
+    full, _ = _engine(tmp_path, batch_size=2, cache_mb=256)
+    full.predict_paths(paths)
+    out, err = capfd.readouterr()
+    assert "serving_cache_mb" not in err
+    sizes = [sum(a.nbytes for a in args) for _, _, args in
+             next(iter(full._corpus_cache.values()))["batches"]]
+
+    eng, _ = _engine(tmp_path, batch_size=2,
+                     cache_mb=(sizes[0] + 1) / (1 << 20))
+    eng.predict_paths(paths)
+    out, err = capfd.readouterr()
+    assert "exceed the serving cache cap" in err
+    assert "serving_cache_mb >=" in err
+    assert out == ""  # stdout untouched (bench.py JSON contract)
