@@ -23,6 +23,10 @@ flat-audio fused regime),
 NISQA_BENCH_PALLAS=1 / NISQA_BENCH_NOPALLAS=1 (force the Pallas DFT->mel
 front-end on/off; default auto = on for TPU backends),
 NISQA_BENCH_NOCACHE=1 (disable the corpus cache; every pass cold),
+NISQA_BENCH_CACHE_MB=N (pin the cache cap below the corpus to measure the
+PARTIAL-cache regime at a controlled resident fraction — scaling table in
+BASELINE.md round 4), NISQA_BENCH_ASYNC_DEPTH=N (pipelining lookahead,
+default 8), NISQA_BENCH_ASYNC_SWEEP=2,4,8 (same-session depth curve),
 NISQA_BENCH_DEVRATE=1 (fetch-free cached passes: block_until_ready but no
 device->host readback — isolates the DEVICE-side rate from the relay's
 ~163 ms end-of-pass fetch; the number direct-attached hardware would see),
