@@ -38,6 +38,7 @@ def _budget_for(key):
 def test_recorded_parity_within_budget():
     with open(RECORD) as f:
         rec = json.load(f)
+    rec = {k: v for k, v in rec.items() if not k.startswith("_")}  # provenance
     assert len(rec) >= 5  # 2 ckpts x 2 fe modes + TTS
     for key, m in rec.items():
         mae_budget, r_budget = _budget_for(key)
@@ -58,6 +59,11 @@ def test_hardware_parity_matches_recorded():
     with open(RECORD) as f:
         rec = json.load(f)
     got = corpus_scale(record=False)
+    # every recorded config must be covered by the re-measurement — a
+    # config silently dropped from corpus_scale() must fail, not pass
+    # untested (provenance keys like "_meta" are not configs)
+    rec = {k: v for k, v in rec.items() if not k.startswith("_")}
+    assert set(rec) <= set(got), (set(rec) - set(got))
     for key, m in got.items():
         mae_budget, r_budget = _budget_for(key)
         assert m["mos_mae"] < mae_budget, (key, m)

@@ -123,12 +123,31 @@ def corpus_scale(record=False):
         "nisqa_tts.tar", "NISQA", tts_paths, "default", "exact", bs=8)
 
     if record:
+        import time
+
         out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            "tests", "goldens", "parity_corpus.json")
+        # provenance (VERDICT-r4 next #5): when/where this baseline was
+        # measured, so a stale record is visible from the file itself.
+        # Keys starting with "_" are skipped by the regression tests.
+        results["_meta"] = {
+            "recorded": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "round": os.environ.get("NISQA_ROUND", "5"),
+            "device": _device_name(),
+        }
         with open(out, "w") as f:
             json.dump(results, f, indent=1, sort_keys=True)
         print(f"recorded -> {out}")
     return results
+
+
+def _device_name():
+    try:
+        import jax
+
+        return str(jax.devices()[0])
+    except Exception:
+        return "unknown"
 
 
 def main():
