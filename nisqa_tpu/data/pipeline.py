@@ -312,6 +312,17 @@ def _stack_and_apply(model, params, state, ends):
     return y
 
 
+# Whole-plan fused cached passes inline one program body per batch; past
+# this many batches the single executable stops scaling (generated-code
+# size, remote-compile wall), so bigger plans fuse in CHUNKS instead: runs
+# of consecutive same-shape batches dispatch as ONE bigger-batch program
+# (see InferenceEngine._fuse_plan_chunks). Env override is for tests.
+FUSE_WHOLE_MAX = int(os.environ.get("NISQA_FUSE_WHOLE_MAX") or 32)
+# per-chunk working-set budget for the chunked mode (segment tensor +
+# attention score matrix estimate, bytes)
+_FUSE_CHUNK_BYTES = 512 * (1 << 20)
+
+
 def _resident_split(items, bytes_of, cap):
     """The partial-caching greedy — single source of truth for the cold
     pass's store (actual nbytes) and warmup's mirror (byte estimates): walk
@@ -718,6 +729,37 @@ class InferenceEngine:
             # PARTIAL regime: cached passes dispatch per-batch seg+model for
             # the resident subset (never mel_fused) — warm those pipelines
             warm_seg_pipelines(resident_keys)
+        elif self._fuse_cached(plan) and len(plan) > FUSE_WHOLE_MAX:
+            # big-plan chunked fusion (mode 'mel_fused_parts'): warm the
+            # segment+model specializations at each distinct (shape, k*bs)
+            # batch size the chunks will dispatch, plus the device concats
+            # the one-time upgrade and each pass perform
+            chunks = self._fuse_plan_chunks(plan)
+            seen = set()
+            for idxs in chunks:
+                gkey = plan[idxs[0]][0]
+                sr, bucket, _ = gkey
+                k = len(idxs)
+                if (gkey, k) in seen:
+                    continue
+                seen.add((gkey, k))
+                run = self._seg_pipeline(sr, bucket)
+                db = np.zeros((k * bs, ms.frames_for_bucket(bucket), M),
+                              np.float32)
+                n = np.full((k * bs,), full_n(sr, bucket), np.int32)
+                args = (db, n) * (2 if de else 1)
+                run(self.params, self.state, *args).block_until_ready()
+                if k > 1:  # the upgrade's per-chunk mel-block concat
+                    jnp.concatenate(
+                        [jnp.zeros((bs, ms.frames_for_bucket(bucket), M),
+                                   jnp.float32)] * k).block_until_ready()
+                    jnp.concatenate(
+                        [jnp.zeros((bs,), jnp.int32)] * k).block_until_ready()
+            if len(chunks) > 1:  # the pass's output concat across parts
+                k_out = 5 if self.model.dim else 1
+                jnp.concatenate(
+                    [jnp.zeros((len(idxs) * bs, k_out), jnp.float32)
+                     for idxs in chunks]).block_until_ready()
         elif self._fuse_cached(plan):
             # pre-compile + pre-load the fused cached-pass executable (the
             # AUTO cache-hit upgrade target: a cold compile on the first
@@ -806,12 +848,76 @@ class InferenceEngine:
         self._pipelines[cache_key] = parts
         return parts
 
+    def _fuse_plan_chunks(self, plan):
+        """Partition a BIG plan (> FUSE_WHOLE_MAX batches) into fused-
+        dispatch chunks: maximal runs of consecutive same-(sr, bucket,
+        transport) batches, capped so one chunk's device working set
+        (segment tensor + a conservative T^2 attention-score estimate)
+        stays under _FUSE_CHUNK_BYTES. Returns [[plan indices], ...]."""
+        bs = self.batch_size
+        chunks, i = [], 0
+        while i < len(plan):
+            gkey = plan[i][0]
+            T = gkey[1]
+            per_sample = T * self.ms.n_mels * self.ms.seg_length * 4 + 4 * T * T
+            k_cap = max(1, min(16, _FUSE_CHUNK_BYTES // max(1, bs * per_sample)))
+            j = i
+            while j < len(plan) and plan[j][0] == gkey and j - i < k_cap:
+                j += 1
+            chunks.append(list(range(i, j)))
+            i = j
+        return chunks
+
+    def _upgrade_to_fused_parts(self, fp, hit):
+        """Big-plan analog of :meth:`_upgrade_to_mel_fused`: runs of
+        consecutive same-shape resident batches are device-concatenated
+        into ONE (k*bs, F, M) mel block apiece and cached as mode
+        'mel_fused_parts'. A cached pass then dispatches one
+        segment+model program per part at batch k*bs — identical outputs
+        to k dispatches of bs (per-sample compute is independent), with
+        the per-pass RPC count cut ~k-fold. The whole-plan single
+        executable does the same job better for small plans but stops
+        compiling/scaling past FUSE_WHOLE_MAX bodies."""
+        plan = hit["plan"]
+        de = self.model.double_ended
+        parts, total = [], 0
+        for idxs in self._fuse_plan_chunks(plan):
+            batches = [hit["batches"][i] for i in idxs]
+            gkey = batches[0][0]
+
+            def cat(sel):
+                xs = [b[2][sel] for b in batches]
+                return xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
+
+            args = (cat(0), cat(1)) + ((cat(2), cat(3)) if de else ())
+            parts.append((gkey, args))
+            total += sum(a.nbytes for a in args)
+        new = {"mode": "mel_fused_parts", "plan": plan, "parts": parts,
+               "bytes": total}
+        old = self._corpus_cache.pop(fp, None)
+        if old is not None:
+            self._cache_bytes -= old["bytes"]
+        self._cache_store(fp, new)
+        return new
+
+    def _run_fused_parts(self, hit):
+        """Dispatch a 'mel_fused_parts' cached pass: one segment+model
+        program per part (jit re-specializes _seg_pipeline's traced fn at
+        the k*bs batch shape), outputs concatenated in plan order so
+        :meth:`_collect_fused`'s bs-strided scatter applies unchanged."""
+        outs = [self._seg_pipeline(gkey[0], gkey[1])(
+                    self.params, self.state, *args)
+                for gkey, args in hit["parts"]]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
     def _upgrade_to_mel_fused(self, fp, hit):
         """One-time cached-entry upgrade: device-concat the resident
         per-batch mel blocks into the flat fused layout (no host
         round-trip, no re-upload) and swap the cache entry to mode
         'mel_fused'."""
         plan = hit["plan"]
+        if len(plan) > FUSE_WHOLE_MAX:
+            return self._upgrade_to_fused_parts(fp, hit)
         plan_keys = tuple(gkey for gkey, _ in plan)
         jitted, offsets = self._fused_mel_parts(plan_keys)
         flat = jnp.concatenate([a.reshape(-1)
@@ -973,6 +1079,10 @@ class InferenceEngine:
                                         hit["flat"], hit["ns"])
                 out = self._collect_fused(all_dev, hit["plan"], N, fetch,
                                           timings=timings)
+            elif hit["mode"] == "mel_fused_parts":
+                all_dev = self._run_fused_parts(hit)
+                out = self._collect_fused(all_dev, hit["plan"], N, fetch,
+                                          timings=timings)
             elif hit.get("cold"):
                 # PARTIAL hit (corpus bigger than cache_mb): resident
                 # batches dispatch from their cached mel blocks; only the
@@ -989,10 +1099,14 @@ class InferenceEngine:
                 # default fuse: upgrade once to one executable for the whole
                 # cached pass over the resident MEL blocks — one execute RPC
                 # instead of len(plan), and no front-end recompute
-                # (measured faster on every session; BASELINE.md round 3)
+                # (measured faster on every session; BASELINE.md round 3).
+                # Plans past FUSE_WHOLE_MAX upgrade to chunked parts instead.
                 hit = self._upgrade_to_mel_fused(fp, hit)
-                all_dev = hit["jitted"](self.params, self.state,
-                                        hit["flat"], hit["ns"])
+                if hit["mode"] == "mel_fused_parts":
+                    all_dev = self._run_fused_parts(hit)
+                else:
+                    all_dev = hit["jitted"](self.params, self.state,
+                                            hit["flat"], hit["ns"])
                 out = self._collect_fused(all_dev, hit["plan"], N, fetch,
                                           timings=timings)
             else:

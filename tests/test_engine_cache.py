@@ -421,3 +421,71 @@ def test_async_fetch_partial_cache_resolves_eagerly(tmp_path):
     h = eng.predict_paths(paths, fetch="async")
     assert eng.stats["last"]["mode"] == "cached_partial"
     np.testing.assert_array_equal(h(), y_sync)
+
+
+def test_big_plan_fused_parts(tmp_path, monkeypatch):
+    """Plans past FUSE_WHOLE_MAX batches fuse in CHUNKS: consecutive
+    same-shape resident batches concatenate into one (k*bs, F, M) block and
+    dispatch as one bigger-batch segment+model program — identical outputs
+    (per-sample compute is independent), bit-identical repeats, and the
+    one-executable-per-batch RPC count cut ~k-fold. The whole-plan single
+    executable is unchanged for plans <= FUSE_WHOLE_MAX."""
+    from nisqa_tpu.audio.wav import write_wav
+    from nisqa_tpu.data import pipeline as pl
+
+    # near-equal lengths so every batch lands in the SAME grid bucket and
+    # chunks actually merge (k > 1)
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(8):
+        sr = 8000
+        t = np.arange(int(sr * (0.80 + 0.01 * i))) / sr
+        y = 0.3 * np.sin(2 * np.pi * (180 + 25 * i) * t) + 0.02 * rng.standard_normal(len(t))
+        p = str(tmp_path / f"eq{i}.wav")
+        write_wav(p, y.astype(np.float32), sr)
+        paths.append(p)
+
+    monkeypatch.setattr(pl, "FUSE_WHOLE_MAX", 2)  # 4 batches > 2 -> parts
+    y0 = _engine(tmp_path, batch_size=2, cache_mb=0).predict_paths(paths)
+
+    eng = _engine(tmp_path, batch_size=2, cache_mb=256)
+    eng.warmup(paths)
+    assert not _has_mel_fused_pipeline(eng)  # big plans never build it
+    y1 = eng.predict_paths(paths)  # cold interleaved
+    assert next(iter(eng._corpus_cache.values()))["mode"] == "mel"
+    y2 = eng.predict_paths(paths)  # upgrade -> chunked fused parts
+    entry = next(iter(eng._corpus_cache.values()))
+    assert entry["mode"] == "mel_fused_parts"
+    # 4 same-shape batches, chunk cap permitting: fewer parts than batches
+    assert len(entry["parts"]) < 4
+    assert sum(a.shape[0] // eng.batch_size
+               for _, a in ((g, ar[0]) for g, ar in entry["parts"])) == 4
+    y3 = eng.predict_paths(paths)
+    assert eng.stats["last"]["mode"] == "cached"
+    np.testing.assert_allclose(y1, y0, atol=1e-6)
+    np.testing.assert_allclose(y2, y1, atol=1e-6)
+    np.testing.assert_array_equal(y2, y3)
+
+    # async handles work over the parts mode too
+    h1 = eng.predict_paths(paths, fetch="async")
+    h2 = eng.predict_paths(paths, fetch="async")
+    np.testing.assert_array_equal(h1(), y3)
+    np.testing.assert_array_equal(h2(), y3)
+
+
+def test_fuse_chunk_cap_respects_working_set(tmp_path):
+    """_fuse_plan_chunks: chunk size shrinks as the bucket (T) grows —
+    the per-chunk segment+attention working-set budget is bounded."""
+    eng = _engine(tmp_path, batch_size=32)
+    small = [((48000, 163, "i16"), list(range(32)))] * 40
+    big = [((48000, 1300, "i16"), list(range(32)))] * 40
+    k_small = len(eng._fuse_plan_chunks(small)[0])
+    k_big = len(eng._fuse_plan_chunks(big)[0])
+    assert k_big <= k_small
+    assert 1 <= k_big <= 16 and 1 <= k_small <= 16
+    # mixed shapes never share a chunk
+    mixed = [((48000, 163, "i16"), [0])] * 2 + [((48000, 204, "i16"), [0])] * 2
+    chunks = eng._fuse_plan_chunks(mixed)
+    for idxs in chunks:
+        keys = {mixed[i][0] for i in idxs}
+        assert len(keys) == 1
