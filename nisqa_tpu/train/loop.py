@@ -20,6 +20,7 @@ TPU design:
 from __future__ import annotations
 
 import os
+import sys
 import time
 from functools import partial
 
@@ -322,9 +323,19 @@ class TrainEngine:
         audio, and epochs never recompute the DFT — the reference's
         `_to_memory` caches the same per-file mel product,
         `NISQA_lib.py:2109-2127`). Returns
-        {sr: {mel, n, local, bucket[, mel_ref, n_ref]}} for the srs whose
-        MEL rows fit under tr_device_cache_mb; srs that don't fit simply
-        stay on the per-batch host-fill path."""
+        {sr: {mel, n, local, bucket[, mel_ref, n_ref]}} covering the rows
+        whose MEL fits under tr_device_cache_mb.
+
+        PARTIAL residency (the training mirror of serving's round-4 greedy,
+        `pipeline._resident_split`): an sr group whose mel rows exceed the
+        remaining budget keeps its LONGEST-file head resident (in 64-row
+        granularity, so the gather executable stays shape-reusable) and the
+        short-file tail host-fills per batch every epoch — all-or-nothing
+        would re-decode and re-upload the WHOLE corpus per epoch the moment
+        it outgrew the budget. Longest-first mirrors serving's rationale:
+        long rows pack the most audio-seconds per resident MB, and the tail
+        then re-uploads the fewest bytes. run_epoch batches resident and
+        tail rows separately (see its partition note)."""
         ms = self.ms
         by_sr = {}
         for i, e in enumerate(entries):
@@ -340,14 +351,13 @@ class TrainEngine:
         budget = int(self._dev_cache_mb * (1 << 20))
         out = {}
         for sr, gidx in sorted(by_sr.items()):
-            n_wins_all = [ms.n_wins(ms.n_frames(_n_of(entries[i]), sr)) for i in gidx]
+            nw = [ms.n_wins(ms.n_frames(_n_of(entries[i]), sr)) for i in gidx]
             if de:
-                n_wins_all += [ms.n_wins(ms.n_frames(_n_of(entries_ref[i]), sr)) for i in gidx]
+                nw = [max(a, ms.n_wins(ms.n_frames(_n_of(entries_ref[i]), sr)))
+                      for a, i in zip(nw, gidx)]
             # bucket_for raises the reference's actionable max-length error
             # (NISQA_lib.py:2205-2207) on over-long files
-            bucket = ms.bucket_for(max(n_wins_all))
-            kind = ("i16" if not de and all(entries[i][0] == "native" for i in gidx)
-                    else "f32")
+            bucket = ms.bucket_for(max(nw))
             # pad the corpus row count to a 64 granularity: the gather
             # train step traces on the corpus array's shape, so padding makes
             # the compiled executable reusable across corpora of similar
@@ -356,10 +366,39 @@ class TrainEngine:
             n_rows = -(-len(gidx) // 64) * 64
             # the budget gates what stays RESIDENT: the mel rows (the audio
             # chunks uploaded during conversion are transient)
-            nbytes = (n_rows * ms.frames_for_bucket(bucket) * ms.n_mels * 4
-                      * (2 if de else 1))
+            row_bytes = (ms.frames_for_bucket(bucket) * ms.n_mels * 4
+                         * (2 if de else 1))
+            nbytes = n_rows * row_bytes
             if nbytes > budget:
-                continue
+                # partial residency: keep the longest-file head (64-row
+                # granularity); the tail stays on the host-fill path
+                n_keep = min(len(gidx), (budget // row_bytes) // 64 * 64)
+                need_mb = -(-(n_rows * row_bytes) // (1 << 20))
+                if n_keep <= 0:
+                    print(
+                        f"nisqa_tpu: training corpus mels (sr {sr}) exceed "
+                        f"tr_device_cache_mb ({self._dev_cache_mb:.0f} MB) "
+                        f"and not even a 64-row head fits: 0/{len(gidx)} "
+                        f"rows device-resident, every epoch re-decodes and "
+                        f"re-uploads. Full residency needs "
+                        f"tr_device_cache_mb >= {need_mb}.",
+                        file=sys.stderr,
+                    )
+                    continue
+                order = sorted(range(len(gidx)), key=lambda j: (-nw[j], j))
+                gidx = [gidx[o] for o in order[:n_keep]]
+                n_rows = n_keep  # already a 64 multiple
+                nbytes = n_rows * row_bytes
+                print(
+                    f"nisqa_tpu: training corpus mels (sr {sr}) exceed "
+                    f"tr_device_cache_mb ({self._dev_cache_mb:.0f} MB): "
+                    f"{n_keep}/{len(order)} rows (longest files) stay "
+                    f"device-resident, the tail host-fills per epoch. Full "
+                    f"residency needs tr_device_cache_mb >= {need_mb}.",
+                    file=sys.stderr,
+                )
+            kind = ("i16" if not de and all(entries[i][0] == "native" for i in gidx)
+                    else "f32")
 
             mel, ns, all_i16 = self._mel_corpus(entries, paths, gidx, sr,
                                                 bucket, kind == "i16", n_rows,
@@ -496,6 +535,21 @@ class TrainEngine:
         engine_load = self._loader()
         dev_corpus = self._device_corpus(paths, entries, paths_ref, entries_ref,
                                          de, engine_load)
+        # PARTIAL residency (corpus mels > tr_device_cache_mb): stable-
+        # partition the shuffled order so resident rows batch together and
+        # tail rows batch together — otherwise EVERY batch would straddle
+        # the partition and split into two half-size optimizer steps
+        # (documented deviation: when the corpus exceeds the device budget,
+        # batch COMPOSITION differs from the reference's plain shuffle —
+        # each batch is still a uniformly-shuffled draw from its partition;
+        # docs/PARITY_MAP.md). Fully-resident corpora are unaffected.
+        if dev_corpus:
+            covered = set()
+            for dc_e in dev_corpus.values():
+                covered.update(dc_e["local"])
+            res = np.array([int(i) in covered for i in range(N)])
+            if res.any() and not res.all():
+                order = np.concatenate([order[res[order]], order[~res[order]]])
 
         y_hat_all = np.zeros((N, K), dtype=np.float32)
         step_i = 0
@@ -521,18 +575,32 @@ class TrainEngine:
             for i in idx:
                 by_sr.setdefault(entries[i][2], []).append(int(i))
             for sr, g in by_sr.items():
-                if de:
-                    kind = "f32"
+                dc = dev_corpus.get(sr)
+                # partial residency: the (at most one, thanks to the
+                # partition-ordered shuffle) batch holding both resident and
+                # tail rows splits — resident rows gather on device, tail
+                # rows host-fill
+                if dc is not None and not all(i in dc["local"] for i in g):
+                    subs = [s for s in ([i for i in g if i in dc["local"]],
+                                        [i for i in g if i not in dc["local"]])
+                            if s]
                 else:
-                    kind = "i16" if all(entries[i][0] == "native" for i in g) else "f32"
-                loss, y_hat = self._run_group(
-                    g, paths, paths_ref, entries, entries_ref, engine_load,
-                    y_all, bias_losses, lr,
-                    jax.random.fold_in(rng_epoch, step_i), K, de, kind,
-                    dev_corpus.get(sr),
-                )
-                results.append((g, loss, y_hat))
-                step_i += 1
+                    subs = [g]
+                for gsub in subs:
+                    use_dc = dc if (dc is not None and gsub[0] in dc["local"]) else None
+                    if de:
+                        kind = "f32"
+                    else:
+                        kind = ("i16" if all(entries[i][0] == "native" for i in gsub)
+                                else "f32")
+                    loss, y_hat = self._run_group(
+                        gsub, paths, paths_ref, entries, entries_ref, engine_load,
+                        y_all, bias_losses, lr,
+                        jax.random.fold_in(rng_epoch, step_i), K, de, kind,
+                        use_dc,
+                    )
+                    results.append((gsub, loss, y_hat))
+                    step_i += 1
             if pbar is not None:
                 # live loss display (reference parity: tqdm postfix), but one
                 # batch BEHIND: fetching the just-dispatched step's loss would

@@ -48,6 +48,19 @@ def _args(tmp, out, names, **over):
     }
 
 
+def _args_n(tmp, out, names, **over):
+    """Like _args but for an arbitrary corpus size: every row trains (the
+    partial-residency tests need >= 64 rows — the resident-head
+    granularity)."""
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"filename": names, "db": ["T"] * len(names),
+                       "mos": rng.uniform(1, 5, len(names)).round(2)})
+    df.to_csv(tmp / "corpus.csv", index=False)
+    base = _args(tmp, out, names[:6])  # rewrites corpus.csv; redo below
+    df.to_csv(tmp / "corpus.csv", index=False)
+    return {**base, "csv_db_train": ["T"], "csv_db_val": ["T"], **over}
+
+
 def _run_epochs(runner, n_epochs=2):
     from nisqa_tpu.train.loop import TrainEngine, _bias_losses
 
@@ -234,3 +247,100 @@ def test_too_long_file_raises_reference_error(tmp_path):
                             tr_ds_to_memory=True))
     with pytest.raises(ValueError, match="ms_max_segments"):
         _run_epochs(runner, n_epochs=1)
+
+
+def test_partial_device_corpus_matches_full(tmp_path, capfd):
+    """Corpus mels straddling tr_device_cache_mb (VERDICT-r4 next #2): the
+    longest-file head stays resident in 64-row granularity, the tail
+    host-fills per batch, an advisory names the cap for full residency —
+    and with equal lengths + no dropout + ordered batches the partial run
+    is numerically identical to the fully-resident one (resident batches
+    take the gather path, tail batches the host-fill path, both already
+    pinned equal to each other by the tests above)."""
+    import jax
+
+    from nisqa_tpu.data.pipeline import MsConfig
+    from nisqa_tpu.model import NisqaTPU
+    from nisqa_tpu.train.loop import TrainEngine, _bias_losses
+
+    no_drop = {"cnn_dropout": 0.0, "td_sa_dropout": 0.0, "pool_att_dropout": 0.0}
+    n, sr, dur = 80, 8000, 1.0
+    names = _write_equal_corpus(tmp_path, n=n, sr=sr, dur=dur)
+
+    # cap sized to hold 70 rows -> 64-row head resident, 16-row tail
+    ms = MsConfig({**TINY_ARGS})
+    nw = ms.n_wins(ms.n_frames(int(sr * dur), sr))
+    row_bytes = ms.frames_for_bucket(ms.bucket_for(nw)) * ms.n_mels * 4
+    cap_mb = row_bytes * 70 / (1 << 20)
+
+    def args(out, **over):
+        return _args_n(tmp_path, out, names, **over)
+
+    def run(runner, n_epochs=1):
+        eng = TrainEngine(runner)
+        bls = _bias_losses(runner, 1)
+        rng = jax.random.PRNGKey(7)
+        out = []
+        for _ in range(n_epochs):
+            rng, rng_ep = jax.random.split(rng)
+            out.append(eng.run_epoch(runner.ds_train, bls, 1e-3, rng_ep,
+                                     batch_size=8, shuffle=False))
+        return eng, out
+
+    run_full = NisqaTPU(args(tmp_path / "f", tr_ds_to_memory=True, **no_drop))
+    eng_f, out_f = run(run_full)
+    assert len(next(iter(eng_f._dev_corpus.values()))["local"]) == n
+
+    run_part = NisqaTPU(args(tmp_path / "p", tr_ds_to_memory=True,
+                             tr_device_cache_mb=cap_mb, **no_drop))
+    eng_p, out_p = run(run_part)
+    err = capfd.readouterr().err
+    assert "64/80 rows (longest files) stay device-resident" in err
+    assert "tr_device_cache_mb >=" in err
+
+    entry = next(iter(eng_p._dev_corpus.values()))
+    assert len(entry["local"]) == 64 and entry["mel"].shape[0] == 64
+    # equal lengths -> stable sort keeps the first 64 indices resident
+    assert sorted(entry["local"]) == list(range(64))
+    # resident rows released their host audio; tail rows kept theirs
+    entries = eng_p._entries(run_part.ds_train.paths())
+    assert all(e[0] == "meta" for e in entries[:64])
+    assert all(e[0] != "meta" for e in entries[64:])
+
+    # numerically identical to full residency (ordered batches never
+    # straddle the 64-row boundary at batch_size 8)
+    for (lf, yf), (lp, yp) in zip(out_f, out_p):
+        np.testing.assert_allclose(lp, lf, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(yp, yf, rtol=1e-5, atol=1e-6)
+
+    # epoch 2: resident rows must not touch host audio, tail rows host-fill
+    rng = jax.random.PRNGKey(9)
+    eng_p.run_epoch(run_part.ds_train, _bias_losses(run_part, 1), 1e-3,
+                    rng, batch_size=8, shuffle=True)
+
+
+def test_partial_device_corpus_shuffle_partition(tmp_path):
+    """Shuffled epochs under partial residency: the order is stable-
+    partitioned (resident rows first), so at most ONE batch straddles and
+    splits into a gather step + a host-fill step; steps stay ~batch-size."""
+    import jax
+
+    from nisqa_tpu.data.pipeline import MsConfig
+    from nisqa_tpu.model import NisqaTPU
+    from nisqa_tpu.train.loop import TrainEngine, _bias_losses
+
+    n, sr, dur = 72, 8000, 1.0  # 72 rows: 64 resident + 8 tail
+    names = _write_equal_corpus(tmp_path, n=n, sr=sr, dur=dur)
+    ms = MsConfig({**TINY_ARGS})
+    nw = ms.n_wins(ms.n_frames(int(sr * dur), sr))
+    row_bytes = ms.frames_for_bucket(ms.bucket_for(nw)) * ms.n_mels * 4
+    runner = NisqaTPU(_args_n(tmp_path, tmp_path / "s", names,
+                              tr_ds_to_memory=True,
+                              tr_device_cache_mb=row_bytes * 70 / (1 << 20)))
+    eng = TrainEngine(runner)
+    loss, y_hat = eng.run_epoch(runner.ds_train, _bias_losses(runner, 1),
+                                1e-3, jax.random.PRNGKey(3), batch_size=16)
+    assert np.isfinite(loss) and np.isfinite(y_hat).all()
+    # 72 rows at bs=16 with a 64/8 partition: ceil(64/16) + ceil(8/16) = 5
+    # steps — the partition-ordered shuffle prevents per-batch straddling
+    # (a plain shuffle would split nearly every batch into two steps)

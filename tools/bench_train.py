@@ -26,6 +26,10 @@ Options (VERDICT round 2, next #6; round 3, next #6):
                    within HBM at the 4,000-6,000-segment buckets and records
                    its a-s/s. --files here = TTS corpus size (default 16).
   --bs N           train batch size (default 32; TTS default 8)
+  --cache-mb N     pin tr_device_cache_mb below the corpus's mel bytes to
+                   measure the PARTIAL-residency regime (VERDICT round 4,
+                   next #2/#8): the longest-file head stays mel-resident,
+                   the tail re-decodes + re-uploads each epoch
 """
 
 import json
@@ -117,7 +121,9 @@ def main():
         # device corpus cap must hold the full train split: ~6 MB/file of
         # padded i16 at 3-30 s (mel-resident rows are ~5x smaller); TTS
         # clips run 10-40 s (seg_hop=1 -> ~1.9 MB of mel rows per 10 s)
-        "tr_device_cache_mb": max(1024, n_files * (24 if tts else 6)),
+        "tr_device_cache_mb": (
+            float(opt("--cache-mb")) if opt("--cache-mb")
+            else max(1024, n_files * (24 if tts else 6))),
     })
     if precision:
         args["tr_precision"] = precision
@@ -178,6 +184,7 @@ def main():
            {"vs_baseline": round(value / CPU_TRAIN_BASELINE, 2)}),
         "epoch_sec_best": round(best_epoch, 2),
         "files": n_files,
+        "tr_device_cache_mb": args["tr_device_cache_mb"],
         "tr_precision": precision or "highest",
         f"full_loop_sec_{n_epochs}ep": round(wall, 1),
         **final,
