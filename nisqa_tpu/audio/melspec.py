@@ -69,7 +69,12 @@ def melspec_np(
 
 
 # ---------------------------------------------------------------------------
-# JAX batched implementation
+# Batch-buffer helper for the JAX front-end
+#
+# The ONE JAX implementation of this pipeline lives in
+# `data/pipeline._front_end` (windowed-DFT matmul; VERDICT-r4 next #6
+# removed the former duplicate jitted builder here — `melspec_np` above is
+# the parity ORACLE used by tools and tests, not a second engine).
 # ---------------------------------------------------------------------------
 
 
@@ -84,67 +89,3 @@ def pad_audio_for_batch(y: np.ndarray, n_fft: int, buf_len: int) -> np.ndarray:
     ypad = reflect_pad(np.asarray(y, dtype=np.float32), n_fft // 2)
     out[: len(ypad)] = ypad
     return out
-
-
-def make_melspec_fn(
-    sr: int,
-    n_fft: int = 4096,
-    hop_s: float = 0.01,
-    win_s: float = 0.02,
-    n_mels: int = 48,
-    fmax: float = 20000.0,
-    n_frames_max: int = 5216,
-    frame_chunk: int = 256,
-):
-    """Build a jittable batched mel-spectrogram function.
-
-    Returns ``fn(audio_buf (B, L_buf) f32, n_frames (B,) i32) -> (B, n_frames_max, n_mels)``
-    where ``audio_buf`` rows come from :func:`pad_audio_for_batch` and
-    ``n_frames`` from :func:`n_frames_for`. Frames >= n_frames[i] contain the
-    dB floor and must be masked downstream (the segmenter does this).
-    """
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
-    hop = int(sr * hop_s)
-    win = int(sr * win_s)
-    fb_t = jnp.asarray(mel_filterbank(int(sr), n_fft, n_mels, 0.0, float(fmax)).T)  # (K, M)
-    window = jnp.asarray(padded_window(win, n_fft))
-
-    n_chunks = -(-n_frames_max // frame_chunk)
-    frames_padded = n_chunks * frame_chunk
-    span = (frame_chunk - 1) * hop + n_fft
-    buf_len_needed = (frames_padded - 1) * hop + n_fft
-    local_idx = np.arange(frame_chunk)[:, None] * hop + np.arange(n_fft)[None, :]
-
-    def fn(audio_buf, n_frames):
-        B = audio_buf.shape[0]
-        # make sure the last chunk's dynamic_slice stays in range
-        audio = jnp.pad(audio_buf, ((0, 0), (0, max(0, buf_len_needed - audio_buf.shape[1]))))
-        idx = jnp.asarray(local_idx)
-
-        def chunk(c, _):
-            a = lax.dynamic_slice(audio, (0, c * (frame_chunk * hop)), (B, span))
-            frames = a[:, idx] * window  # (B, F, n_fft)
-            spec = jnp.abs(jnp.fft.rfft(frames))  # (B, F, K)
-            mel = jnp.einsum(
-                "bfk,km->bfm", spec, fb_t, precision=lax.Precision.HIGHEST
-            )
-            return c + 1, mel
-
-        _, mels = lax.scan(chunk, 0, None, length=n_chunks)
-        mel = jnp.moveaxis(mels, 0, 1).reshape(B, frames_padded, n_mels)
-        mel = mel[:, :n_frames_max]
-
-        amin = jnp.float32(1e-4)
-        db = 20.0 * jnp.log10(jnp.maximum(mel, amin))
-        valid = (
-            jnp.arange(n_frames_max, dtype=jnp.int32)[None, :] < n_frames[:, None]
-        )  # (B, W)
-        neg = jnp.float32(-jnp.inf)
-        mx = jnp.max(jnp.where(valid[:, :, None], db, neg), axis=(1, 2), keepdims=True)
-        db = jnp.maximum(db, mx - 80.0)
-        return db  # (B, n_frames_max, n_mels)
-
-    return jax.jit(fn)

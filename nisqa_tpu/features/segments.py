@@ -46,32 +46,7 @@ def segment_np(spec: np.ndarray, seg_length: int, seg_hop: int, max_length: int)
     return out, n_wins
 
 
-def make_segment_fn(seg_length: int, seg_hop: int, max_length: int, n_frames_max: int):
-    """Build a jittable batched segmenter.
-
-    Returns ``fn(spec (B, W, n_mels), n_frames (B,)) ->
-    (segments (B, max_length, n_mels, seg_length), n_wins (B,))``.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    if seg_length % 2 == 0:
-        raise ValueError(f"seg_length must be odd! (seg_length={seg_length})")
-
-    starts = np.arange(max_length) * seg_hop  # (T,)
-    win = np.arange(seg_length)  # (S,)
-    gather_idx = np.minimum(starts[:, None] + win[None, :], n_frames_max - 1)  # (T, S)
-
-    def fn(spec, n_frames):
-        idx = jnp.asarray(gather_idx)
-        segs = spec[:, idx, :]  # (B, T, S, M)
-        segs = jnp.swapaxes(segs, 2, 3)  # (B, T, M, S)
-
-        full = n_frames - (seg_length - 1)
-        n_wins = jnp.where(seg_hop > 1, -(-full // seg_hop), full).astype(jnp.int32)
-        t_idx = jnp.arange(max_length, dtype=jnp.int32)[None, :]
-        mask = t_idx < n_wins[:, None]  # (B, T)
-        segs = jnp.where(mask[:, :, None, None], segs, 0.0)
-        return segs, n_wins
-
-    return jax.jit(fn)
+# The ONE JAX implementation of batched segment windowing lives in
+# `data/pipeline._front_end.seg_fn` (rows-trick im2col; VERDICT-r4 next #6
+# removed the former duplicate jitted builder here). `segment_np` above is
+# the parity ORACLE used by tools and tests.

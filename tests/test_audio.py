@@ -5,13 +5,8 @@ import pytest
 
 from nisqa_tpu.audio import wav as wavio
 from nisqa_tpu.audio.filters import hann_periodic, hz_to_mel_slaney, mel_filterbank, mel_to_hz_slaney
-from nisqa_tpu.audio.melspec import (
-    make_melspec_fn,
-    melspec_np,
-    n_frames_for,
-    pad_audio_for_batch,
-)
-from nisqa_tpu.features.segments import make_segment_fn, n_wins_for, segment_np
+from nisqa_tpu.audio.melspec import melspec_np, n_frames_for, pad_audio_for_batch
+from nisqa_tpu.features.segments import n_wins_for, segment_np
 
 
 def _tone(sr, dur=1.0, f=440.0, seed=0):
@@ -85,33 +80,46 @@ class TestFilters:
         assert w[0] == 0.0
 
 
+def _engine_mel(y, sr):
+    """Run the ENGINE's (one and only) JAX front-end — `pipeline._front_end`
+    in exact (f32) mode, the same traced mel_fn every serving/train program
+    uses — on one file. Returns (db (n_frames_max, M), nf)."""
+    import jax
+
+    from nisqa_tpu.data.pipeline import MsConfig, _front_end, front_end_consts
+
+    ms = MsConfig({})
+    nf = n_frames_for(len(y), int(sr * ms.hop_s))
+    bucket = ms.bucket_for(ms.n_wins(nf))
+    fe, buf_len = _front_end(ms, sr, bucket)
+    consts = front_end_consts(ms, sr, "f32")
+    buf = np.zeros((1, buf_len), np.float32)
+    padded = pad_audio_for_batch(y, ms.n_fft, len(y) + ms.n_fft)
+    w = min(len(padded), buf_len)  # pad tail past the last STFT read is unused
+    buf[0, :w] = padded[:w]
+    db = np.asarray(jax.jit(fe.mel_fn)(consts, buf,
+                                       np.array([len(y)], np.int32)))[0]
+    return db, nf
+
+
 class TestMelspec:
     @pytest.mark.parametrize("sr", [48000, 16000])
-    def test_jax_matches_numpy(self, sr):
+    def test_engine_front_end_matches_numpy(self, sr):
         y = _tone(sr, dur=1.3)
         ref = melspec_np(y, sr)  # (M, W)
         nf = n_frames_for(len(y), int(sr * 0.01))
         assert ref.shape == (48, nf)
-
-        n_frames_max = nf + 7
-        fn = make_melspec_fn(sr, n_frames_max=n_frames_max, frame_chunk=64)
-        buf_len = (n_frames_max - 1) * int(sr * 0.01) + 4096 + 8
-        buf = pad_audio_for_batch(y, 4096, buf_len)[None, :]
-        out = np.asarray(fn(buf, np.array([nf], dtype=np.int32)))[0]  # (Wmax, M)
+        out, nf2 = _engine_mel(y, sr)
+        assert nf2 == nf
         assert np.max(np.abs(out[:nf].T - ref)) < 2e-3  # dB units
 
     def test_top_db_clip_uses_valid_frames_only(self):
         sr = 48000
         y = _tone(sr, dur=0.5)
-        nf = n_frames_for(len(y), 480)
-        n_frames_max = nf + 50
-        fn = make_melspec_fn(sr, n_frames_max=n_frames_max, frame_chunk=32)
-        buf_len = (n_frames_max - 1) * 480 + 4096 + 8
-        buf = pad_audio_for_batch(y, 4096, buf_len)[None, :]
-        out = np.asarray(fn(buf, np.array([nf], dtype=np.int32)))[0]
+        out, nf = _engine_mel(y, sr)
         ref = melspec_np(y, sr)
         # clip floor must equal the valid-frame max minus 80, not be dragged
-        # down by garbage frames
+        # down by garbage/pad frames beyond nf
         assert abs(out[:nf].max() - ref.max()) < 2e-3
         assert abs(out[:nf].min() - ref.min()) < 2e-3
 
@@ -128,13 +136,22 @@ class TestSegments:
         assert np.allclose(segs[n_wins - 1], spec[:, (n_wins - 1) * 4 : (n_wins - 1) * 4 + 15])
         assert np.all(segs[n_wins:] == 0)
 
-    def test_jax_matches_np(self):
+    def test_engine_seg_fn_matches_np(self):
+        """The ENGINE's segment windowing (`pipeline._front_end.seg_fn`,
+        the rows-trick im2col every serving/train program uses) against the
+        numpy oracle."""
+        from nisqa_tpu.data.pipeline import MsConfig, _front_end
+
         rng = np.random.default_rng(2)
-        W = 120
+        W, sr = 120, 8000
+        hop = int(sr * 0.01)  # 80
         spec = rng.standard_normal((2, W, 48)).astype(np.float32)
         n_frames = np.array([100, 57], dtype=np.int32)
-        fn = make_segment_fn(15, 4, 40, W)
-        segs, n_wins = fn(spec, n_frames)
+        ms = MsConfig({"ms_seg_length": 15, "ms_seg_hop_length": 4,
+                       "ms_max_segments": 160})
+        fe, _ = _front_end(ms, sr, 40)  # t_bucket = 40 == old max_length
+        n_samples = ((n_frames - 1) * hop).astype(np.int32)  # nf = 1 + n//hop
+        segs, n_wins = fe.seg_fn(spec, n_samples)
         segs = np.asarray(segs)
         for b in range(2):
             ref_segs, ref_n = segment_np(spec[b, : n_frames[b]].T, 15, 4, 40)
