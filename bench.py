@@ -65,8 +65,14 @@ CPU_BASELINE_AUDIO_SEC_PER_SEC = 37.8
 CPU_CACHED_BASELINE_AUDIO_SEC_PER_SEC = 65.3
 # default corpus: 384 files ≈ 4,500 audio-s — closer to real NISQA serving
 # corpora (the NISQA Corpus is 14k files) and big enough to amortise the
-# per-pass RPC floor. NISQA_BENCH_FILES overrides (96 = the round-1 corpus).
+# per-pass RPC floor. NISQA_BENCH_FILES overrides (96 = the round-1 corpus;
+# 7168+ = the NISQA-Corpus-scale regime, BASELINE.md round 5).
 N_FILES = int(os.environ.get("NISQA_BENCH_FILES") or 384)
+# TPU v5e (v5 lite) bf16 peak, dense: 197 TFLOP/s/chip (public spec). The
+# cached serving pass runs the model at default precision (bf16-pass
+# matmuls), so this is the MFU denominator; override for other chips via
+# NISQA_BENCH_PEAK_TFLOPS.
+PEAK_TFLOPS = float(os.environ.get("NISQA_BENCH_PEAK_TFLOPS") or 197.0)
 
 
 def corpus_dir(n_files):
@@ -164,7 +170,8 @@ def _run(warm_only=False):
         # pass's readback RPC rides behind the next passes' device
         # execution. Every handle is resolved and every output validated
         # (the assert runs inside the loop so EVERY block's outputs are
-        # checked).
+        # checked). Returns the per-pass wall of EVERY block (best is the
+        # headline; median/n ship as variance fields — VERDICT-r4 next #7).
         depth = depth or default_depth
         walls = []
         for b in range(n_blocks):
@@ -177,7 +184,7 @@ def _run(warm_only=False):
             if stages:
                 print(f"async block {b}: {engine.stats['last']}",
                       file=sys.stderr)
-        return min(walls)
+        return walls
 
     if os.environ.get("NISQA_BENCH_ASYNC_SWEEP"):
         # same-session pipelining-depth curve: one cold pass, then the
@@ -186,14 +193,14 @@ def _run(warm_only=False):
         assert np.isfinite(y).all()
         sweep = {}
         for d in os.environ["NISQA_BENCH_ASYNC_SWEEP"].split(","):
-            sweep[f"async_d{d}"] = async_blocks(depth=int(d))
+            sweep[f"async_d{d}"] = min(async_blocks(depth=int(d)))
         return total_audio_sec, sweep
     if os.environ.get("NISQA_BENCH_ASYNC"):
         # A/B mode: ONLY the pipelined steady state (pass 1 cold fetched to
         # populate the device-resident cache)
         y = engine.predict_paths(paths)
         assert np.isfinite(y).all()
-        return total_audio_sec, {"async": async_blocks()}
+        return total_audio_sec, {"async_walls": async_blocks()}
     runs, y = [], None
     for i in range(7):
         # devrate mode: pass 1 populates the device cache (fetched as usual);
@@ -209,8 +216,10 @@ def _run(warm_only=False):
             print(f"pass {i}: {engine.stats['last']}", file=sys.stderr)
     assert np.isfinite(y).all()
     if devrate:
-        return total_audio_sec, {"devrate": min(runs[1:])}
-    walls = {"fetched": min(runs)}
+        return total_audio_sec, {"devrate_walls": runs[1:]}
+    # pass 0 is the cold pass; cached-pass variance is over passes 1+ (the
+    # best includes pass 0 only if it somehow won, which it never does)
+    walls = {"fetched_walls": runs, "cold_wall": runs[0]}
     # default run: measure the OTHER two regimes in the SAME session so the
     # three rates are directly comparable (same pool conditions) — the
     # fetch-free device rate (3 cached passes, block_until_ready only) and
@@ -220,8 +229,8 @@ def _run(warm_only=False):
         tic = time.time()
         engine.predict_paths(paths, fetch=False)
         dev_runs.append(time.time() - tic)
-    walls["devrate"] = min(dev_runs)
-    walls["async"] = async_blocks()
+    walls["devrate_walls"] = dev_runs
+    walls["async_walls"] = async_blocks()
     return total_audio_sec, walls
 
 
@@ -295,18 +304,33 @@ def main():
             **{k: round(total_audio_sec / walls[k], 2) for k in sweep_keys},
         }))
         return
-    if "async" in walls:
+
+    def rate(wall):
+        return round(total_audio_sec / wall, 2)
+
+    def variance(prefix, wl):
+        # best/median/n per regime (VERDICT-r4 next #7): separates
+        # round-over-round deltas from the ~3x shared-pool pass variance
+        # without BASELINE.md archaeology. Rates, not walls, so fields are
+        # directly comparable to the headline.
+        return {
+            f"{prefix}_best_pass": rate(min(wl)),
+            f"{prefix}_median": rate(float(np.median(wl))),
+            f"{prefix}_n": len(wl),
+        }
+
+    if "async_walls" in walls:
         # default run: all three regimes from ONE session. Headline stays
         # the pipelined serving steady state (round-3 definition); the
         # per-regime rates + ratios ship alongside so no cross-round or
         # cross-regime comparison has to mix denominator regimes.
         metric += "_async_pipelined"
-        value = total_audio_sec / walls["async"]
-    elif "devrate" in walls:
+        value = total_audio_sec / min(walls["async_walls"])
+    elif "devrate_walls" in walls:
         metric += "_devrate_nofetch"
-        value = total_audio_sec / walls["devrate"]
+        value = total_audio_sec / min(walls["devrate_walls"])
     else:
-        value = total_audio_sec / walls["fetched"]
+        value = total_audio_sec / min(walls["fetched_walls"])
     record = {
         "metric": metric,
         "value": round(value, 2),
@@ -317,22 +341,84 @@ def main():
         "vs_baseline": round(value / CPU_BASELINE_AUDIO_SEC_PER_SEC, 2),
         # reference with RAM-cached mels (see BASELINE.md round 3)
         "vs_cached_cpu": round(value / CPU_CACHED_BASELINE_AUDIO_SEC_PER_SEC, 2),
+        "n_files": N_FILES,
+        "total_audio_s": round(total_audio_sec, 1),
     }
-    if "fetched" in walls and "async" in walls:
+    if "async_walls" in walls:
+        record.update(variance("async", walls["async_walls"]))
+    if "fetched_walls" in walls and "async_walls" in walls:
         # rounds 1/2's headline definition (one synchronous fetched pass,
-        # best of 7) with its own regime-matched ratios
-        fetched = total_audio_sec / walls["fetched"]
+        # best of 7) with its own regime-matched ratios. Pass 0 is cold;
+        # variance is over the cached passes.
+        fetched = total_audio_sec / min(walls["fetched_walls"])
         record["fetched_best_pass"] = round(fetched, 2)
         record["fetched_vs_baseline"] = round(
             fetched / CPU_BASELINE_AUDIO_SEC_PER_SEC, 2)
         record["fetched_vs_cached_cpu"] = round(
             fetched / CPU_CACHED_BASELINE_AUDIO_SEC_PER_SEC, 2)
-    if "devrate" in walls and "async" in walls:
+        record.update(variance("fetched_cached", walls["fetched_walls"][1:]))
+        record["cold_pass_rate"] = rate(walls["cold_wall"])
+    if "devrate_walls" in walls and "async_walls" in walls:
         # same-session fetch-free device rate: grounds the pipelined
         # headline (readback amortization) against the device-side bound
-        record["devrate_best_pass"] = round(
-            total_audio_sec / walls["devrate"], 2)
+        record.update(variance("devrate", walls["devrate_walls"]))
+    record.update(_mfu_fields(walls, total_audio_sec, value))
     print(json.dumps(record))
+
+
+def _flops_record():
+    """Per-pass FLOP counts from tools/flops.py (XLA cost model, forced-CPU
+    subprocess), cached next to the corpus keyed by checkpoint identity —
+    the CPU compiles run once per (corpus size, checkpoint)."""
+    import subprocess
+
+    tar = "/root/reference/weights/nisqa.tar"
+    st = os.stat(tar)
+    cache = os.path.join(CORPUS_DIR, f"flops_bs32_{st.st_size}_{st.st_mtime_ns}.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "flops.py")
+    proc = subprocess.run(
+        [sys.executable, tool, tar, CORPUS_DIR, "32"],
+        capture_output=True, text=True, timeout=3600,
+    )
+    if proc.returncode != 0:
+        print(f"warning: flops tool failed; no MFU fields.\n"
+              f"{proc.stderr[-2000:]}", file=sys.stderr)
+        return None
+    rec = json.loads(proc.stdout.strip().splitlines()[-1])
+    with open(cache, "w") as f:
+        json.dump(rec, f)
+    return rec
+
+
+def _mfu_fields(walls, total_audio_sec, headline_rate):
+    """MFU grounding (VERDICT-r4 next #3): the fetched/devrate/async regimes
+    all execute the CACHED pass (segment+model; the front-end ran once on
+    the cold pass), so one per-pass FLOP count converts each regime's wall
+    into sustained TFLOP/s and an MFU vs the chip's bf16 peak."""
+    try:
+        fl = _flops_record()
+    except Exception as e:  # never let grounding kill the measurement
+        print(f"warning: flops counting raised {e!r}; no MFU fields.",
+              file=sys.stderr)
+        return {}
+    if not fl:
+        return {}
+    f_pass = fl["cached_flops_per_pass"]
+    out = {
+        "flops_per_audio_s": round(f_pass / total_audio_sec, 1),
+        "tflops_sustained": round(headline_rate / total_audio_sec
+                                  * f_pass / 1e12, 3),
+        "peak_tflops": PEAK_TFLOPS,
+    }
+    out["mfu_pct"] = round(out["tflops_sustained"] / PEAK_TFLOPS * 100, 2)
+    if "devrate_walls" in walls:
+        out["mfu_devrate_pct"] = round(
+            f_pass / min(walls["devrate_walls"]) / 1e12 / PEAK_TFLOPS * 100, 2)
+    return out
 
 
 if __name__ == "__main__":
