@@ -44,6 +44,16 @@ synchronous per-pass rate (best of 7 fetched passes — round 1/2's headline
 definition) as "fetched_best_pass" with regime-matched "fetched_vs_*"
 ratios, and the fetch-free device rate (best of 3 cached block-only
 passes) as "devrate_best_pass".
+
+Round 5 additions: per-regime variance fields (*_median, *_n — the shared
+pool adds ~3x pass variance, so medians make cross-round deltas readable),
+and FLOPs/MFU grounding (flops_per_audio_s, tflops_sustained, mfu_pct):
+tools/flops.py counts the cached pass's executed FLOPs (padding included)
+with XLA's own cost model on a forced-CPU subprocess, and the headline rate
+converts to sustained TFLOP/s against the v5e bf16 peak (197 TFLOPS). The
+model's matmul shapes (48x15 convs at <=64 channels, d=64 attention)
+underfill the MXU by design, so ~10-15% MFU is the architectural ceiling —
+see BASELINE.md round 5.
 """
 
 import json

@@ -27,6 +27,9 @@ BUDGET = {
     "nisqa.tar": (0.01, 0.999),
     "nisqa_mos_only.tar": (0.01, 0.999),
     "nisqa_tts.tar": (1e-3, 0.9999),
+    # trained-here DE self-parity (tools/bench_de.py; VERDICT-r4 next #4):
+    # our engine vs the torch reference running the SAME exported weights
+    "de_trained.tar": (0.01, 0.999),
 }
 
 

@@ -76,6 +76,66 @@ def reference_predict(tar, model_name, paths):
     return np.stack(outs)
 
 
+def reference_predict_de(tar, deg_paths, ref_paths):
+    """PyTorch reference NISQA_DE forward over deg/ref pairs, per file —
+    the reference dataset's paired layout: segments stacked on the channel
+    axis (`NISQA_lib.py:2212-2214`), n_wins per side."""
+    ckpt = torch.load(tar, map_location="cpu", weights_only=False)
+    args = dict(ckpt["args"])
+    margs = model_args_from_ckpt_args(args)
+    if isinstance(margs["cnn_kernel_size"], list):
+        margs["cnn_kernel_size"] = tuple(margs["cnn_kernel_size"])
+    m = NL.NISQA_DE(**margs)
+    m.load_state_dict(ckpt["model_state_dict"], strict=True)
+    m.eval()
+    outs = []
+    for dp, rp in zip(deg_paths, ref_paths):
+        specs, n_wins = [], []
+        for p in (dp, rp):
+            y, sr = read_wav(p)
+            spec = melspec_np(
+                y, sr, n_fft=args["ms_n_fft"], hop_s=args["ms_hop_length"],
+                win_s=args["ms_win_length"], n_mels=args["ms_n_mels"],
+                fmax=args["ms_fmax"],
+            )
+            specs.append(spec)
+        from nisqa_tpu.features.segments import n_wins_for
+
+        seg_l, seg_h = args["ms_seg_length"], args["ms_seg_hop_length"]
+        n_wins = [n_wins_for(s.shape[1], seg_l, seg_h) for s in specs]
+        T = max(n_wins)
+        segs = [segment_np(s, seg_l, seg_h, T)[0] for s in specs]
+        x = np.stack(segs, axis=1)  # (T, 2, M, S)
+        with torch.no_grad():
+            out = m(torch.from_numpy(x[None]),
+                    torch.tensor([n_wins], dtype=torch.long))
+        outs.append(out.numpy()[0])
+    return np.stack(outs)
+
+
+def de_self_parity():
+    """Self-parity for the trained-here DE checkpoint (VERDICT-r4 next #4):
+    our engine vs the torch reference NISQA_DE running the SAME exported
+    .tar (tests/goldens/de_trained.tar, produced by tools/bench_de.py
+    train) over the deterministic DE pair corpus."""
+    from bench_de import DE_TAR, make_de_corpus
+
+    _, deg, ref, _ = make_de_corpus()
+    model, params, state, args = load_model_from_tar(DE_TAR)
+    engine = InferenceEngine(model, params, state, MsConfig(args),
+                             batch_size=32, num_workers=4)
+    ours = engine.predict_paths(deg, ref)
+    theirs = reference_predict_de(DE_TAR, deg, ref)
+    diff = np.abs(ours - theirs)
+    r = np.corrcoef(ours[:, 0], theirs[:, 0])[0, 1]
+    res = {"n": len(deg), "precision": "default", "fe": "auto",
+           "mos_mae": float(diff[:, 0].mean()), "max_abs": float(diff.max()),
+           "pearson_r": float(r)}
+    print(f"de_trained.tar         n={len(deg):3d} MOS MAE={res['mos_mae']:.5f} "
+          f"max={res['max_abs']:.5f} pearson_r={r:.6f}")
+    return res
+
+
 def _compare(tar, name, paths, precision, fe_precision, bs=8, ref_cache={}):
     model, params, state, args = load_model_from_tar(f"/root/reference/weights/{tar}")
     engine = InferenceEngine(
@@ -121,6 +181,14 @@ def corpus_scale(record=False):
     print(f"== long-clip TTS parity: {len(tts_paths)} files of 10-40 s ==")
     results["nisqa_tts.tar::exact"] = _compare(
         "nisqa_tts.tar", "NISQA", tts_paths, "default", "exact", bs=8)
+
+    # DE self-parity (trained-here weights; round 5) — covered whenever the
+    # exported golden exists, so the hardware drift gate includes DE
+    from bench_de import DE_TAR
+
+    if os.path.exists(DE_TAR):
+        print("== double-ended self-parity (trained-here .tar) ==")
+        results["de_trained.tar::auto"] = de_self_parity()
 
     if record:
         import time
