@@ -28,13 +28,21 @@ BUDGET = {
     "nisqa_mos_only.tar": (0.01, 0.999),
     "nisqa_tts.tar": (1e-3, 0.9999),
     # trained-here DE self-parity (tools/bench_de.py; VERDICT-r4 next #4):
-    # our engine vs the torch reference running the SAME exported weights
-    "de_trained.tar": (0.01, 0.999),
+    # our engine vs the torch reference running the SAME exported weights.
+    # default precision carries the honest bf16-pass spread of the double
+    # front-end + O(T^2) cosine-alignment graph (measured 0.0119 MOS MAE,
+    # r 0.9997 — BASELINE.md round 5); the engine itself is exact: the
+    # ::highest entry below pins it at ~3e-6.
+    "de_trained.tar": (0.02, 0.999),
+}
+# exact-key overrides (checked before the tar-name fallback)
+KEY_BUDGET = {
+    "de_trained.tar::highest": (1e-3, 0.9999),
 }
 
 
 def _budget_for(key):
-    return BUDGET[key.split("::")[0]]
+    return KEY_BUDGET.get(key) or BUDGET[key.split("::")[0]]
 
 
 @pytest.mark.skipif(not os.path.exists(RECORD), reason="no recorded baseline")

@@ -117,23 +117,35 @@ def de_self_parity():
     """Self-parity for the trained-here DE checkpoint (VERDICT-r4 next #4):
     our engine vs the torch reference NISQA_DE running the SAME exported
     .tar (tests/goldens/de_trained.tar, produced by tools/bench_de.py
-    train) over the deterministic DE pair corpus."""
+    train) over the deterministic DE pair corpus.
+
+    Measured at BOTH engine precisions (round 5 decomposition): 'highest'
+    pins the engine exact (MAE ~3e-6 — the drift-gate entry with the tight
+    budget), while 'default' records the honest bf16-pass spread of the
+    double-front-end + O(T^2) cosine-alignment graph (~0.012 MOS MAE on
+    the trained DE; the alignment's similarity matmuls amplify bf16
+    rounding far more than the single-ended stacks' ~0.0015)."""
     from bench_de import DE_TAR, make_de_corpus
 
     _, deg, ref, _ = make_de_corpus()
-    model, params, state, args = load_model_from_tar(DE_TAR)
-    engine = InferenceEngine(model, params, state, MsConfig(args),
-                             batch_size=32, num_workers=4)
-    ours = engine.predict_paths(deg, ref)
     theirs = reference_predict_de(DE_TAR, deg, ref)
-    diff = np.abs(ours - theirs)
-    r = np.corrcoef(ours[:, 0], theirs[:, 0])[0, 1]
-    res = {"n": len(deg), "precision": "default", "fe": "auto",
-           "mos_mae": float(diff[:, 0].mean()), "max_abs": float(diff.max()),
-           "pearson_r": float(r)}
-    print(f"de_trained.tar         n={len(deg):3d} MOS MAE={res['mos_mae']:.5f} "
-          f"max={res['max_abs']:.5f} pearson_r={r:.6f}")
-    return res
+    out = {}
+    for prec, key in (("default", "de_trained.tar::auto"),
+                      ("highest", "de_trained.tar::highest")):
+        model, params, state, args = load_model_from_tar(DE_TAR)
+        engine = InferenceEngine(model, params, state, MsConfig(args),
+                                 batch_size=32, num_workers=4, precision=prec)
+        ours = engine.predict_paths(deg, ref)
+        diff = np.abs(ours - theirs)
+        r = np.corrcoef(ours[:, 0], theirs[:, 0])[0, 1]
+        res = {"n": len(deg), "precision": prec, "fe": "auto",
+               "mos_mae": float(diff[:, 0].mean()),
+               "max_abs": float(diff.max()), "pearson_r": float(r)}
+        print(f"de_trained.tar         n={len(deg):3d} precision={prec:8s} "
+              f"MOS MAE={res['mos_mae']:.6f} max={res['max_abs']:.6f} "
+              f"pearson_r={r:.6f}")
+        out[key] = res
+    return out
 
 
 def _compare(tar, name, paths, precision, fe_precision, bs=8, ref_cache={}):
@@ -188,25 +200,43 @@ def corpus_scale(record=False):
 
     if os.path.exists(DE_TAR):
         print("== double-ended self-parity (trained-here .tar) ==")
-        results["de_trained.tar::auto"] = de_self_parity()
+        results.update(de_self_parity())
 
     if record:
-        import time
-
-        out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "tests", "goldens", "parity_corpus.json")
-        # provenance (VERDICT-r4 next #5): when/where this baseline was
-        # measured, so a stale record is visible from the file itself.
-        # Keys starting with "_" are skipped by the regression tests.
-        results["_meta"] = {
-            "recorded": time.strftime("%Y-%m-%d %H:%M:%S"),
-            "round": os.environ.get("NISQA_ROUND", "5"),
-            "device": _device_name(),
-        }
-        with open(out, "w") as f:
-            json.dump(results, f, indent=1, sort_keys=True)
-        print(f"recorded -> {out}")
+        _write_record(results)
     return results
+
+
+RECORD_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "goldens", "parity_corpus.json")
+
+
+def _write_record(results):
+    import time
+
+    # provenance (VERDICT-r4 next #5): when/where this baseline was
+    # measured, so a stale record is visible from the file itself.
+    # Keys starting with "_" are skipped by the regression tests.
+    results["_meta"] = {
+        "recorded": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "round": os.environ.get("NISQA_ROUND", "5"),
+        "device": _device_name(),
+    }
+    with open(RECORD_PATH, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(f"recorded -> {RECORD_PATH}")
+
+
+def de_record():
+    """--de-only --record: re-measure just the DE self-parity entries and
+    splice them into the existing record (the DE golden changes whenever
+    tools/bench_de.py retrains it; the released-checkpoint entries don't)."""
+    with open(RECORD_PATH) as f:
+        results = json.load(f)
+    results = {k: v for k, v in results.items() if not k.startswith("_")}
+    results.update(de_self_parity())
+    _write_record(results)
 
 
 def _device_name():
@@ -221,6 +251,8 @@ def _device_name():
 def main():
     from bench import CORPUS_DIR, make_corpus
 
+    if "--de-only" in sys.argv:
+        return de_record()
     if "--corpus" in sys.argv:
         return corpus_scale(record="--record" in sys.argv)
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 16
